@@ -1,0 +1,65 @@
+"""Config composition tests (ts_asr_whisper_tpu/config.py)."""
+
+import os
+
+from ts_asr_whisper_tpu.config import Cfg, compose, load_config
+
+
+def test_base_compose():
+    os.environ.setdefault("MANIFEST_DIR", "/tmp/manifests")
+    cfg = load_config([], n_devices=8)
+    assert isinstance(cfg, Cfg)
+    assert cfg.model.whisper_model == "openai/whisper-tiny"
+    assert cfg.model.ctc_weight == 0.3
+    assert cfg.training.overall_batch_size == 64
+    # per-device derived from overall over 8 devices
+    assert cfg.training.per_device_train_batch_size == 8
+
+
+def test_train_overlay_and_overrides():
+    os.environ["MANIFEST_DIR"] = "/tmp/manifests"
+    os.environ["PRETRAINED_CTC_MODELS_PATH"] = "/tmp/ctc"
+    os.environ["MUSAN_ROOT"] = "/tmp/musan"
+    cfg = load_config(["+train=dicow_v3", "training.max_steps=123",
+                       "model.ctc_weight=0.1"], n_devices=8)
+    assert cfg.experiment == "dicow_v3"
+    assert cfg.model.whisper_model == "openai/whisper-large-v3-turbo"
+    assert cfg.training.max_steps == 123
+    assert cfg.model.ctc_weight == 0.1
+    assert cfg.training.lr_scheduler_type == "cosine"
+    # env + nested-ref interpolation; 'openai/whisper-' is stripped from
+    # reinit paths (reference: training_args.py:97-101)
+    assert cfg.model.reinit_encoder_from.startswith("/tmp/ctc/")
+    assert "large-v3-turbo_ctc-pretrain_libri" in cfg.model.reinit_encoder_from
+    # dataset weights from overlay
+    assert cfg.data.dataset_weights == [6, 6, 1, 1, 1, 1]
+
+
+def test_defaults_inheritance():
+    os.environ["MANIFEST_DIR"] = "/tmp/manifests"
+    os.environ["PRETRAINED_CTC_MODELS_PATH"] = "/tmp/ctc"
+    os.environ["MUSAN_ROOT"] = "/tmp/musan"
+    cfg = load_config(["+train=se_dicow"], n_devices=1)
+    # inherited from dicow_v3
+    assert cfg.model.whisper_model == "openai/whisper-large-v3-turbo"
+    assert cfg.training.max_steps == 40000
+    # overridden in se_dicow
+    assert cfg.experiment == "se_dicow"
+    assert cfg.model.scb_layers == 8
+    assert cfg.data.use_enrollments is True
+    assert cfg.training.learning_rate == 4.0e-06
+
+
+def test_decode_overlays():
+    os.environ["MANIFEST_DIR"] = "/tmp/manifests"
+    cfg = load_config(["+decode=dicow_v3_beam_joint"], n_devices=1)
+    assert cfg.training.generation_num_beams == 5
+    assert cfg.decoding.decoding_ctc_weight == 0.2
+    assert cfg.decoding.length_penalty == 0.1
+    assert cfg.training.decode_only is True
+
+
+def test_env_default_fallback():
+    os.environ.pop("EXPERIMENT_PATH", None)
+    raw = compose([])
+    assert raw["training"]["output_dir"].startswith("exp/")
