@@ -1,0 +1,450 @@
+"""Whisper encoder/decoder core — pure-functional JAX, TPU-first.
+
+Design (not a port of HF/torch modeling):
+- parameters are nested dicts of jnp arrays with HF-compatible leaf names,
+  but per-layer weights are STACKED on a leading layer axis and the layer
+  stack runs under ``lax.scan`` — one compiled layer body regardless of depth
+  (32-layer turbo compiles as fast as tiny), remat-friendly;
+- all ops are written over '...td' leading batch dims so the same layer code
+  serves (B, T, D) training batches and (B, S, T, D) SE-DiCoW dual streams;
+- fp32 parameters, configurable bf16 compute; softmax and layer norms in fp32;
+- decode path is explicit: ``decoder_prefill`` builds a static-shape KV cache,
+  ``decoder_step`` advances it functionally (jit/while_loop friendly).
+
+Numerics match HF ``WhisperEncoder``/``WhisperDecoder`` (eager) at fp32:
+q-scaling by head_dim**-0.5, pre-LN blocks, erf GELU, learned positions.
+Reference behaviors mirrored from /root/reference/src/models/dicow/encoder.py
+and transformers' modeling_whisper.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DiCoWConfig
+
+Params = Dict[str, Any]
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def linear(p: Params, x: jax.Array, dtype=None) -> jax.Array:
+    kernel = p["kernel"]
+    if dtype is not None:
+        kernel = kernel.astype(dtype)
+        x = x.astype(dtype)
+    y = x @ kernel
+    if "bias" in p:
+        y = y + p["bias"].astype(y.dtype)
+    return y
+
+
+def layer_norm(p: Params, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    orig_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    # (..., T, D) -> (..., H, T, hd)
+    *lead, t, d = x.shape
+    x = x.reshape(*lead, t, num_heads, d // num_heads)
+    return jnp.swapaxes(x, -3, -2)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    # (..., H, T, hd) -> (..., T, D)
+    x = jnp.swapaxes(x, -3, -2)
+    *lead, t, h, hd = x.shape
+    return x.reshape(*lead, t, h * hd)
+
+
+def multi_head_attention(
+    p: Params,
+    x_q: jax.Array,
+    x_kv: jax.Array,
+    num_heads: int,
+    mask: Optional[jax.Array] = None,
+    dtype=None,
+) -> jax.Array:
+    """Standard MHA matching HF WhisperAttention numerics.
+
+    mask: broadcastable to (..., H, Tq, Tk), True = attend.
+    """
+    head_dim = x_q.shape[-1] // num_heads
+    scaling = head_dim ** -0.5
+    q = linear(p["q_proj"], x_q, dtype) * scaling
+    k = linear(p["k_proj"], x_kv, dtype)
+    v = linear(p["v_proj"], x_kv, dtype)
+    q, k, v = (_split_heads(t, num_heads) for t in (q, k, v))
+    out = sdpa(q, k, v, mask)
+    return linear(p["out_proj"], _merge_heads(out), dtype)
+
+
+def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
+         mask: Optional[jax.Array] = None) -> jax.Array:
+    """Scaled-dot-product attention core (q pre-scaled), fp32 softmax."""
+    scores = jnp.einsum("...qd,...kd->...qk", q, k,
+                        preferred_element_type=jnp.float32)
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("...qk,...kd->...qd", probs, v)
+
+
+def mlp_block(p: Params, x: jax.Array, dtype=None) -> jax.Array:
+    return linear(p["fc2"], gelu(linear(p["fc1"], x, dtype)), dtype)
+
+
+# ---------------------------------------------------------------------------
+# transformer layers (scan bodies)
+# ---------------------------------------------------------------------------
+
+
+def encoder_layer(p: Params, x: jax.Array, num_heads: int, dtype=None) -> jax.Array:
+    res = x
+    h = layer_norm(p["self_attn_layer_norm"], x)
+    h = multi_head_attention(p["self_attn"], h, h, num_heads, dtype=dtype)
+    x = res + h
+    res = x
+    h = layer_norm(p["final_layer_norm"], x)
+    h = mlp_block(p, h, dtype)
+    return res + h
+
+
+def decoder_layer(
+    p: Params,
+    x: jax.Array,
+    enc: jax.Array,
+    num_heads: int,
+    self_mask: Optional[jax.Array],
+    dtype=None,
+) -> jax.Array:
+    res = x
+    h = layer_norm(p["self_attn_layer_norm"], x)
+    h = multi_head_attention(p["self_attn"], h, h, num_heads, mask=self_mask, dtype=dtype)
+    x = res + h
+    res = x
+    h = layer_norm(p["encoder_attn_layer_norm"], x)
+    h = multi_head_attention(p["encoder_attn"], h, enc, num_heads, dtype=dtype)
+    x = res + h
+    res = x
+    h = layer_norm(p["final_layer_norm"], x)
+    h = mlp_block(p, h, dtype)
+    return res + h
+
+
+def scan_layers(layer_fn, stacked: Params, x: jax.Array, remat: bool = False):
+    """Run x through a stack of layers whose params carry a leading layer
+    axis, via lax.scan (single traced body)."""
+    body = layer_fn
+    if remat:
+        body = jax.checkpoint(layer_fn)
+
+    def step(h, layer_params):
+        return body(layer_params, h), None
+
+    out, _ = jax.lax.scan(step, x, stacked)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# conv stem
+# ---------------------------------------------------------------------------
+
+
+def conv1d(p: Params, x: jax.Array, stride: int = 1, dtype=None) -> jax.Array:
+    """x: (B, T, C_in); kernel: (k, C_in, C_out); SAME-1 padding (pad=1, k=3)."""
+    kernel = p["kernel"]
+    if dtype is not None:
+        kernel = kernel.astype(dtype)
+        x = x.astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(stride,), padding=((1, 1),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(y.dtype)
+    return y
+
+
+def encoder_stem(params: Params, input_features: jax.Array, dtype=None) -> jax.Array:
+    """(B, n_mels, 3000) -> (B, 1500, D): conv1 + gelu, conv2(stride2) + gelu."""
+    x = jnp.swapaxes(input_features, -1, -2)  # (B, T, n_mels)
+    x = gelu(conv1d(params["conv1"], x, stride=1, dtype=dtype))
+    x = gelu(conv1d(params["conv2"], x, stride=2, dtype=dtype))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# plain whisper encoder / decoder forwards
+# ---------------------------------------------------------------------------
+
+
+def encoder_forward(params: Params, cfg: DiCoWConfig, input_features: jax.Array,
+                    remat: bool = False) -> jax.Array:
+    """Vanilla Whisper encoder (no DiCoW conditioning) — used for tests and
+    as the base of the DiCoW encoder in dicow.py."""
+    dtype = cfg.compute_dtype
+    x = encoder_stem(params, input_features, dtype)
+    x = x + params["embed_positions"].astype(x.dtype)[None, : x.shape[-2]]
+    layer_fn = partial(_enc_layer_body, num_heads=cfg.encoder_attention_heads,
+                       dtype=dtype)
+    x = scan_layers(layer_fn, params["layers"], x, remat=remat)
+    return layer_norm(params["layer_norm"], x)
+
+
+def _enc_layer_body(p, h, num_heads, dtype):
+    return encoder_layer(p, h, num_heads, dtype)
+
+
+def causal_mask(t: int) -> jax.Array:
+    return jnp.tril(jnp.ones((t, t), dtype=bool))
+
+
+def decoder_forward(params: Params, cfg: DiCoWConfig, input_ids: jax.Array,
+                    encoder_hidden: jax.Array, remat: bool = False,
+                    position_offset: int = 0) -> jax.Array:
+    """Teacher-forced decoder: (B, T) tokens -> (B, T, D) final hidden."""
+    dtype = cfg.compute_dtype
+    tok = params["embed_tokens"][input_ids].astype(dtype)
+    t = input_ids.shape[-1]
+    pos = params["embed_positions"][position_offset : position_offset + t]
+    x = tok + pos.astype(dtype)
+    mask = causal_mask(t)
+
+    def body(p, h):
+        return decoder_layer(p, h, encoder_hidden.astype(dtype),
+                             cfg.decoder_attention_heads, mask, dtype)
+
+    x = scan_layers(body, params["layers"], x, remat=remat)
+    return layer_norm(params["layer_norm"], x)
+
+
+def lm_logits(params: Params, hidden: jax.Array) -> jax.Array:
+    """proj_out tied to embed_tokens (reference: train.py:111)."""
+    w = params["embed_tokens"].astype(hidden.dtype)
+    return jnp.einsum("...d,vd->...v", hidden, w,
+                      preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# KV-cached decode
+# ---------------------------------------------------------------------------
+
+
+def precompute_cross_kv(params: Params, cfg: DiCoWConfig,
+                        encoder_hidden: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Cross-attention K/V for all layers at once: (L, B, H, T_enc, hd).
+
+    Computed once per utterance; the decode loop then never touches the
+    encoder states again (HBM-bandwidth win over re-projecting each step).
+    """
+    h = cfg.decoder_attention_heads
+    dtype = cfg.compute_dtype
+    enc = encoder_hidden.astype(dtype)
+
+    def per_layer(lp):
+        k = _split_heads(linear(lp["encoder_attn"]["k_proj"], enc, dtype), h)
+        v = _split_heads(linear(lp["encoder_attn"]["v_proj"], enc, dtype), h)
+        return k, v
+
+    return jax.lax.map(per_layer, params["layers"])
+
+
+def init_kv_cache(cfg: DiCoWConfig, batch: int, max_len: int) -> Dict[str, jax.Array]:
+    shape = (cfg.decoder_layers, batch, cfg.decoder_attention_heads,
+             max_len, cfg.d_model // cfg.decoder_attention_heads)
+    dtype = cfg.compute_dtype
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def decoder_cached(
+    params: Params,
+    cfg: DiCoWConfig,
+    input_ids: jax.Array,          # (B, T_new)
+    pos_offset: jax.Array,          # scalar int — tokens already in cache
+    kv_cache: Dict[str, jax.Array],
+    cross_kv: Tuple[jax.Array, jax.Array],
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Run T_new tokens through the decoder with a static-size KV cache.
+
+    Used both for prefill (T_new = prompt length, pos_offset = 0) and for
+    single-token steps (T_new = 1). Returns (final hidden (B, T_new, D),
+    updated cache). Attention sees cache positions < pos_offset + T_new via
+    a position mask, so the cache can be preallocated at max_len.
+    """
+    dtype = cfg.compute_dtype
+    b, t_new = input_ids.shape
+    max_len = kv_cache["k"].shape[-2]
+    num_heads = cfg.decoder_attention_heads
+
+    tok = params["embed_tokens"][input_ids].astype(dtype)
+    pos_ids = pos_offset + jnp.arange(t_new)
+    x = tok + params["embed_positions"][pos_ids].astype(dtype)
+
+    # mask over cache keys: key j visible to query i iff j <= pos_offset + i
+    key_pos = jnp.arange(max_len)
+    q_pos = pos_offset + jnp.arange(t_new)
+    self_mask = key_pos[None, :] <= q_pos[:, None]   # (T_new, max_len)
+
+    cross_k, cross_v = cross_kv
+
+    def step(h, xs):
+        lp, ck, cv, cache_k, cache_v = xs
+        res = h
+        z = layer_norm(lp["self_attn_layer_norm"], h)
+        head_dim = cfg.d_model // num_heads
+        q = linear(lp["self_attn"]["q_proj"], z, dtype) * head_dim ** -0.5
+        k_new = linear(lp["self_attn"]["k_proj"], z, dtype)
+        v_new = linear(lp["self_attn"]["v_proj"], z, dtype)
+        q, k_new, v_new = (_split_heads(t, num_heads) for t in (q, k_new, v_new))
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k_new, (0, 0, pos_offset, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v_new, (0, 0, pos_offset, 0))
+        attn = sdpa(q, cache_k, cache_v, self_mask[None, None])
+        h = res + linear(lp["self_attn"]["out_proj"], _merge_heads(attn), dtype)
+
+        res = h
+        z = layer_norm(lp["encoder_attn_layer_norm"], h)
+        q = linear(lp["encoder_attn"]["q_proj"], z, dtype) * head_dim ** -0.5
+        q = _split_heads(q, num_heads)
+        attn = sdpa(q, ck, cv)
+        h = res + linear(lp["encoder_attn"]["out_proj"], _merge_heads(attn), dtype)
+
+        res = h
+        z = layer_norm(lp["final_layer_norm"], h)
+        h = res + mlp_block(lp, z, dtype)
+        return h, (cache_k, cache_v)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        step, x, (params["layers"], cross_k, cross_v,
+                  kv_cache["k"], kv_cache["v"]))
+    x = layer_norm(params["layer_norm"], x)
+    return x, {"k": new_k, "v": new_v}
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _uniform(key, shape, scale, dtype=jnp.float32):
+    return jax.random.uniform(key, shape, dtype, -scale, scale)
+
+
+def init_linear(key, d_in: int, d_out: int, bias: bool = True,
+                dtype=jnp.float32) -> Params:
+    k1, k2 = jax.random.split(key)
+    # torch nn.Linear default init (kaiming-uniform fan_in)
+    bound = 1.0 / math.sqrt(d_in)
+    p = {"kernel": _uniform(k1, (d_in, d_out), bound, dtype)}
+    if bias:
+        p["bias"] = _uniform(k2, (d_out,), bound, dtype)
+    return p
+
+
+def init_layer_norm(d: int, dtype=jnp.float32) -> Params:
+    return {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
+
+
+def init_attention(key, d: int, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, 4)
+    return {
+        "q_proj": init_linear(ks[0], d, d, True, dtype),
+        "k_proj": init_linear(ks[1], d, d, False, dtype),
+        "v_proj": init_linear(ks[2], d, d, True, dtype),
+        "out_proj": init_linear(ks[3], d, d, True, dtype),
+    }
+
+
+def init_encoder_layer(key, cfg: DiCoWConfig, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, 3)
+    d = cfg.d_model
+    return {
+        "self_attn": init_attention(ks[0], d, dtype),
+        "self_attn_layer_norm": init_layer_norm(d, dtype),
+        "fc1": init_linear(ks[1], d, cfg.encoder_ffn_dim, True, dtype),
+        "fc2": init_linear(ks[2], cfg.encoder_ffn_dim, d, True, dtype),
+        "final_layer_norm": init_layer_norm(d, dtype),
+    }
+
+
+def init_decoder_layer(key, cfg: DiCoWConfig, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, 4)
+    d = cfg.d_model
+    return {
+        "self_attn": init_attention(ks[0], d, dtype),
+        "self_attn_layer_norm": init_layer_norm(d, dtype),
+        "encoder_attn": init_attention(ks[1], d, dtype),
+        "encoder_attn_layer_norm": init_layer_norm(d, dtype),
+        "fc1": init_linear(ks[2], d, cfg.decoder_ffn_dim, True, dtype),
+        "fc2": init_linear(ks[3], cfg.decoder_ffn_dim, d, True, dtype),
+        "final_layer_norm": init_layer_norm(d, dtype),
+    }
+
+
+def _stack_layers(layer_list):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layer_list)
+
+
+def sinusoidal_positions(length: int, d_model: int) -> np.ndarray:
+    """Whisper encoder sinusoids (HF sinusoids init)."""
+    log_timescale = math.log(10000) / (d_model // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(d_model // 2))
+    scaled = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(np.float32)
+
+
+def init_encoder(key, cfg: DiCoWConfig, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, cfg.encoder_layers + 2)
+    d = cfg.d_model
+    conv_bound1 = 1.0 / math.sqrt(cfg.num_mel_bins * 3)
+    conv_bound2 = 1.0 / math.sqrt(d * 3)
+    k1a, k1b = jax.random.split(ks[0])
+    k2a, k2b = jax.random.split(ks[1])
+    params = {
+        "conv1": {"kernel": _uniform(k1a, (3, cfg.num_mel_bins, d), conv_bound1, dtype),
+                  "bias": _uniform(k1b, (d,), conv_bound1, dtype)},
+        "conv2": {"kernel": _uniform(k2a, (3, d, d), conv_bound2, dtype),
+                  "bias": _uniform(k2b, (d,), conv_bound2, dtype)},
+        "embed_positions": jnp.asarray(
+            sinusoidal_positions(cfg.max_source_positions, d), dtype),
+        "layers": _stack_layers(
+            [init_encoder_layer(ks[i + 2], cfg, dtype)
+             for i in range(cfg.encoder_layers)]),
+        "layer_norm": init_layer_norm(d, dtype),
+    }
+    return params
+
+
+def init_decoder(key, cfg: DiCoWConfig, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, cfg.decoder_layers + 2)
+    d = cfg.d_model
+    return {
+        "embed_tokens": jax.random.normal(ks[0], (cfg.vocab_size, d), dtype) * 0.02,
+        "embed_positions": jax.random.normal(
+            ks[1], (cfg.max_target_positions, d), dtype) * 0.02,
+        "layers": _stack_layers(
+            [init_decoder_layer(ks[i + 2], cfg, dtype)
+             for i in range(cfg.decoder_layers)]),
+        "layer_norm": init_layer_norm(d, dtype),
+    }
