@@ -1,0 +1,188 @@
+"""Long-form orchestration: segment retrieval + timestamp re-blocking parity
+vs the reference's host logic, and an end-to-end seek-loop smoke test."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from ts_asr_whisper_tpu.decoding import longform as lf  # noqa: E402
+
+from oracles import load_reference_dicow  # noqa: E402
+
+RefConfig, RefModel = load_reference_dicow()
+import sys  # noqa: E402
+
+sys.path.insert(0, "/root/reference/src")
+from models.dicow.generation import DiCoWGenerationMixin  # noqa: E402
+
+TS = 1000  # timestamp_begin for these tests
+PAD = 7
+
+
+def _ref_retrieve(seq, seek_num_frames, time_offset):
+    seek_sequence = torch.tensor(seq)
+    segments, seg_offset = DiCoWGenerationMixin._retrieve_segment(
+        seek_sequence=seek_sequence,
+        seek_outputs=[{}],
+        time_offset=torch.tensor([time_offset], dtype=torch.float64),
+        timestamp_begin=TS,
+        seek_num_frames=torch.tensor([seek_num_frames]),
+        time_precision=0.02,
+        time_precision_features=0.01,
+        input_stride=2,
+        prev_idx=0,
+        idx=0,
+        return_token_timestamps=False,
+        decoder_input_ids=torch.zeros((1, 3), dtype=torch.long),
+    )
+    out = [(float(s["start"]), float(s["end"]), list(map(int, s["tokens"])))
+           for s in segments]
+    return out, int(seg_offset)
+
+
+CASES = [
+    # paired timestamps, single-timestamp ending
+    [TS + 0, 5, 6, TS + 100, TS + 100, 8, 9, TS + 200, TS + 250],
+    # paired timestamps, unfinished tail (seek back to last pair)
+    [TS + 0, 5, 6, TS + 100, TS + 100, 8, 9, TS + 200],
+    # no consecutive pairs, two timestamps
+    [TS + 0, 5, 6, 9, TS + 400],
+    # one timestamp only, within window
+    [TS + 10, 5, 6],
+    # one timestamp beyond 200 -> rollback
+    [TS + 300, 5],
+    # no timestamps at all
+    [5, 6, 9],
+]
+
+
+@pytest.mark.parametrize("case", range(len(CASES)))
+def test_retrieve_segment_parity(case):
+    seq = CASES[case]
+    ref_segs, ref_off = _ref_retrieve(seq, seek_num_frames=3000, time_offset=30.0)
+    segs, off = lf.retrieve_segment(np.asarray(seq), TS, 3000, 30.0)
+    assert off == ref_off
+    assert len(segs) == len(ref_segs)
+    for s, (rs, re_, rt) in zip(segs, ref_segs):
+        assert abs(s.start - rs) < 1e-9
+        assert abs(s.end - re_) < 1e-9
+        assert list(map(int, s.tokens)) == rt
+
+
+class MockTokenizer:
+    """Round-trip tokenizer for the reference's decode->re-encode path:
+    text tokens render as ' #<id>' and timestamps as '<|t.tt|>'."""
+
+    pad_token_id = PAD
+
+    def get_vocab(self):
+        return {"<|0.00|>": TS, "Ġ": 220}
+
+    def decode(self, tokens):
+        # the real WhisperTokenizer.decode filters timestamp ids
+        return "".join(f"#{int(t)};" for t in tokens if int(t) < TS)
+
+    def __call__(self, text):
+        import re
+
+        ids = []
+        for m in re.finditer(r"<\|(\d+\.\d+)\|>|#(\d+);", text):
+            if m.group(1) is not None:
+                ids.append(TS + round(float(m.group(1)) / 0.02))
+            else:
+                ids.append(int(m.group(2)))
+        return {"input_ids": ids}
+
+
+def _seg(start, end, tokens):
+    return {"start": torch.tensor(start, dtype=torch.float64),
+            "end": torch.tensor(end, dtype=torch.float64),
+            "tokens": list(tokens)}
+
+
+SCENARIOS = [
+    # simple segments within the first block
+    [[_seg(0.0, 3.5, [TS + 0, 11, 12, TS + 175]),
+      _seg(4.0, 7.0, [TS + 200, 13, TS + 350])]],
+    # segment crossing a 30 s boundary (wrap with correction)
+    [[_seg(25.0, 33.0, [11, 12]), _seg(34.0, 35.5, [13])]],
+    # long gap skipping whole blocks (dummy bridges)
+    [[_seg(2.0, 4.0, [11]), _seg(95.0, 97.0, [12, 13])]],
+    # first segment starts after 30 s
+    [[_seg(65.0, 68.0, [11])]],
+    # exact 30 s landing
+    [[_seg(28.0, 30.0, [11]), _seg(30.0, 31.0, [12])]],
+    # exactly 30-long segment wrap
+    [[_seg(10.0, 40.0, [11, 12])]],
+    # dummy-only segment gets filtered
+    [[_seg(0.0, 0.0, [TS]), _seg(1.0, 2.0, [11])]],
+]
+
+
+@pytest.mark.parametrize("scenario", range(len(SCENARIOS)))
+def test_fix_timestamps_parity(scenario):
+    segs_torch = SCENARIOS[scenario]
+
+    class DummySelf:
+        tokenizer = MockTokenizer()
+        round_to_nearest_0_02 = staticmethod(
+            DiCoWGenerationMixin.round_to_nearest_0_02)
+
+    sequences = {"segments": [list(s) for s in segs_torch],
+                 "sequences": torch.zeros(1, 1)}
+    ref_out = DiCoWGenerationMixin._fix_timestamps_from_segmentation(
+        DummySelf(), sequences).numpy()
+
+    ours_segs = [[lf.Segment(start=float(s["start"]), end=float(s["end"]),
+                             tokens=np.asarray(s["tokens"]))
+                  for s in row] for row in segs_torch]
+    ours = lf.fix_timestamps_from_segmentation(ours_segs, TS, PAD,
+                                               empty_token_id=220)
+    assert ours.shape == ref_out.shape, (ours, ref_out)
+    np.testing.assert_array_equal(ours, ref_out)
+
+
+def test_longform_end_to_end_smoke(rng):
+    """Two 'recordings' longer than one window; the seek loop must cover all
+    audio and emit within-block timestamps."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from ts_asr_whisper_tpu.decoding.generation_config import GenerationConfig
+    from ts_asr_whisper_tpu.models.config import DiCoWConfig
+    from ts_asr_whisper_tpu.models.dicow import init_dicow
+    import jax
+
+    V = 1700
+    ts_begin = V - 1501
+    no_ts = ts_begin - 1
+    cfg = DiCoWConfig(
+        vocab_size=V, num_mel_bins=24, d_model=32, encoder_layers=1,
+        decoder_layers=1, encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, max_source_positions=48,
+        max_target_positions=64, decoder_start_token_id=31, eos_token_id=30,
+        pad_token_id=30, bos_token_id=30, dtype="float32",
+        use_fddt=True, use_pre_pos_fddt=True)
+    params = init_dicow(jax.random.PRNGKey(0), cfg)
+    gen_cfg = GenerationConfig(
+        eos_token_id=30, pad_token_id=30, bos_token_id=30,
+        decoder_start_token_id=31, no_timestamps_token_id=no_ts,
+        return_timestamps=True, max_length=20)
+
+    t_total = 96 * 3  # three windows
+    feats = rng.standard_normal((2, 24, t_total)).astype(np.float32)
+    stno = rng.random((2, 4, t_total // 2)).astype(np.float32)
+    stno /= stno.sum(axis=1, keepdims=True)
+    attn = np.ones((2, t_total), dtype=np.int32)
+    attn[1, 96 * 2:] = 0  # second recording is shorter
+    prompts = np.array([[31, 50], [31, 50]], dtype=np.int32)
+
+    out = lf.longform_generate(params, cfg, gen_cfg, feats, stno, attn,
+                               prompts, max_new_tokens=10,
+                               return_segments=True)
+    assert out.sequences.ndim == 2 and out.sequences.shape[0] == 2
+    # all emitted timestamps must be within [0, 30] of a block
+    for row in out.sequences:
+        for t in row:
+            if t >= ts_begin:
+                assert t <= ts_begin + 1500

@@ -53,8 +53,8 @@ def test_extract_features_longform(rng):
     wav = rng.standard_normal(int(16000 * 42.0)).astype(np.float32) * 0.05
     feats, attn = mel_ops.extract_features(wav)
     assert feats.shape == (80, 6000)
-    assert attn.shape == (2 * mel_ops.N_SAMPLES,)
-    assert attn.sum() == wav.shape[0]
+    assert attn.shape == (6000,)  # mel-frame level (HF FE downsamples by hop)
+    assert attn.sum() == -(-wav.shape[0] // mel_ops.HOP_LENGTH)
 
     fe = WhisperFeatureExtractor(feature_size=80)
     hf_out = fe(wav, sampling_rate=16000, return_tensors="np",

@@ -1,0 +1,305 @@
+"""Long-form (arbitrary-length) decoding: host-driven seek orchestration
+around the jitted 30 s decode window.
+
+Re-designs the reference's generation stack
+(/root/reference/src/models/dicow/generation.py) for TPU execution:
+- the per-window compute (encoder + FDDT + KV-cached greedy/beam) is one
+  jitted call with static shapes, batched over ALL recordings at once;
+- the data-dependent parts — window slicing, segment retrieval with seek
+  rollback (generation.py:415-534), global-timestamp re-blocking
+  (generation.py:314-413) — stay on host in exact-semantics numpy/Decimal;
+- rows whose audio is exhausted decode a silence window (the DiCoW
+  EOS-early-exit makes those terminate in one step) so the device batch
+  shape never changes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from decimal import ROUND_HALF_UP, Decimal
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..data.stno import slice_stno_for_seek
+from ..models.config import DiCoWConfig
+from ..models.dicow import dicow_encoder_forward, encoder_ctc_logits
+from .generation_config import GenerationConfig
+from .greedy import greedy_decode
+
+TIME_PRECISION = 0.02
+INPUT_STRIDE = 2              # conv2 stride
+NUM_SEGMENT_FRAMES = 3000     # mel frames / 30 s window
+EMPTY_TOKEN_ID = 220          # "Ġ" (single space) in the whisper vocab
+
+
+@dataclass
+class Segment:
+    start: float
+    end: float
+    tokens: np.ndarray
+
+
+@dataclass
+class LongformOutput:
+    sequences: np.ndarray                 # (B, L) padded final token ids
+    segments: List[List[Segment]] = field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# segment retrieval (host) — port of generation.py:415-534
+# ---------------------------------------------------------------------------
+
+
+def retrieve_segment(
+    seek_sequence: np.ndarray,   # generated tokens for this window (no prompt)
+    timestamp_begin: int,
+    seek_num_frames: int,        # mel frames consumed by this window
+    time_offset: float,          # seconds at window start
+) -> tuple:
+    """Split a window's decoded tokens into timestamped segments and compute
+    how many mel frames to advance the seek pointer."""
+    seek_sequence = np.asarray(seek_sequence)
+    ts_tokens = seek_sequence >= timestamp_begin
+    single_timestamp_ending = (
+        len(seek_sequence) >= 2 and ts_tokens[-2:].tolist() == [False, True])
+    consec = np.where(ts_tokens[:-1] & ts_tokens[1:])[0] + 1
+
+    segments: List[Segment] = []
+    if len(consec) > 0:
+        slices = consec.tolist()
+        if single_timestamp_ending:
+            slices.append(len(seek_sequence))
+        else:
+            slices[-1] += 1
+        last_slice = 0
+        for i, current_slice in enumerate(slices):
+            is_last = i == len(slices) - 1
+            sliced = seek_sequence[last_slice:current_slice]
+            start_pos = int(sliced[0]) - timestamp_begin
+            end_idx = -1 if (not is_last or single_timestamp_ending) else -2
+            end_pos = int(sliced[end_idx]) - timestamp_begin
+            segments.append(Segment(
+                start=time_offset + start_pos * TIME_PRECISION,
+                end=time_offset + end_pos * TIME_PRECISION,
+                tokens=sliced))
+            last_slice = current_slice
+        if single_timestamp_ending:
+            segment_offset = seek_num_frames
+        else:
+            last_ts_pos = int(seek_sequence[last_slice - 2]) - timestamp_begin
+            segment_offset = last_ts_pos * INPUT_STRIDE
+    else:
+        timestamps = seek_sequence[ts_tokens]
+        start_pos = 0.0
+        last_pos = seek_num_frames // 2
+        skip = False
+        segment_offset = seek_num_frames
+        if timestamps.size > 1:
+            start_pos = int(timestamps[-2]) - timestamp_begin
+            last_pos = int(timestamps[-1]) - timestamp_begin
+        elif timestamps.size == 1:
+            start_pos = int(timestamps[-1]) - timestamp_begin
+            if start_pos > 200:
+                # segment does not fit the window: roll the seek back
+                # (timestamp may be inaccurate, generation.py:504-507)
+                segment_offset = start_pos * INPUT_STRIDE - 100
+                skip = True
+        elif timestamps.size == 0 and len(seek_sequence) > 1:
+            pass  # no-timestamp decoding: keep output as-is
+        else:
+            skip = True
+        if not skip:
+            segments = [Segment(
+                start=time_offset + start_pos * TIME_PRECISION,
+                end=time_offset + last_pos * TIME_PRECISION,
+                tokens=seek_sequence)]
+            segment_offset = seek_num_frames
+
+    if segment_offset <= 0:
+        raise ValueError(
+            f"Segment offset {segment_offset} <= 0; this should not happen")
+    return segments, int(segment_offset)
+
+
+# ---------------------------------------------------------------------------
+# timestamp re-blocking (host) — port of generation.py:314-413
+# ---------------------------------------------------------------------------
+
+
+def round_to_nearest_0_02(x: float) -> Decimal:
+    d = Decimal(str(x))
+    step = Decimal("0.02")
+    return (d / step).to_integral_value(rounding=ROUND_HALF_UP) * step
+
+
+def fix_timestamps_from_segmentation(
+    all_segments: List[List[Segment]],
+    timestamp_begin: int,
+    pad_token_id: int,
+    empty_token_id: int = EMPTY_TOKEN_ID,
+) -> np.ndarray:
+    """Re-linearize global-time segments into Whisper's 0-30 s timestamp
+    range with dummy block bridges. Token-level equivalent of the
+    reference's decode->re-encode roundtrip (generation.py:322-413): instead
+    of stringifying, timestamp ids are emitted directly (text is identical)."""
+
+    def ts_id(t: Decimal) -> int:
+        return timestamp_begin + int(
+            (t / Decimal("0.02")).to_integral_value(rounding=ROUND_HALF_UP))
+
+    results = []
+    for segs in all_segments:
+        segs = [s for s in segs
+                if len(s.tokens) > 0 and not (
+                    len(s.tokens) == 1 and int(s.tokens[0]) == timestamp_begin)]
+        result = []  # (start Decimal, [text tokens], end Decimal) in 0-30
+        prev_end = None
+        correction = Decimal(0)
+        for seg in segs:
+            start_time = round_to_nearest_0_02(float(seg.start))
+            end_time = round_to_nearest_0_02(float(seg.end))
+            tokens = [int(t) for t in seg.tokens
+                      if int(t) < timestamp_begin]
+            current_block = (start_time + correction) // 30
+            if prev_end is not None:
+                prev_block = (prev_end - Decimal("0.001")) // 30
+                num_dummies = current_block - prev_block - 1
+                if current_block > prev_block:
+                    result.append((Decimal(30), [empty_token_id], Decimal(30)))
+                for _ in range(int(num_dummies)):
+                    result.append((Decimal(0), [empty_token_id], Decimal(30)))
+            else:
+                for _ in range(int(start_time // 30)):
+                    result.append((Decimal(0), [empty_token_id], Decimal(30)))
+
+            if (start_time + correction) // 30 == (end_time + correction) // 30:
+                result.append(((start_time + correction) % 30, tokens,
+                               (end_time + correction) % 30))
+            elif (end_time + correction) % 30 == 0:
+                result.append(((start_time + correction) % 30, tokens,
+                               Decimal(30)))
+                correction = Decimal(0)
+            else:
+                new_start = (correction + start_time) % 30
+                seg_duration = end_time - start_time
+                new_end = (end_time + correction) % 30
+                if seg_duration == Decimal(30):
+                    if float(new_start) % 30.0 == 0.0:
+                        new_end = Decimal(30)
+                        correction = Decimal(0)
+                    else:
+                        correction = Decimal("-0.02")
+                        new_end += correction
+                else:
+                    correction = Decimal(0)
+                result.append((new_start, tokens, new_end))
+            prev_end = end_time + correction
+
+        ids: List[int] = []
+        for start, toks, end in result:
+            ids.append(ts_id(start))
+            ids.extend(toks)
+            ids.append(ts_id(end))
+        results.append(ids)
+
+    max_len = max((len(r) for r in results), default=1) or 1
+    out = np.full((len(results), max_len), pad_token_id, dtype=np.int64)
+    for i, r in enumerate(results):
+        out[i, : len(r)] = r
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the seek loop
+# ---------------------------------------------------------------------------
+
+
+def longform_generate(
+    params: Dict[str, Any],
+    cfg: DiCoWConfig,
+    gen_cfg: GenerationConfig,
+    input_features: np.ndarray,     # (B, n_mels, T_total) host array
+    stno_mask: np.ndarray,          # (B, 4, T_total // 2)
+    attention_mask: np.ndarray,     # (B, T_total) mel-frame validity
+    forced_decoder_ids: np.ndarray,  # (B, P) decoder prompts (sot, lang, task)
+    enroll_features: Optional[np.ndarray] = None,
+    enroll_stno: Optional[np.ndarray] = None,
+    max_new_tokens: Optional[int] = None,
+    return_segments: bool = False,
+):
+    """Batched long-form transcription. Returns LongformOutput whose
+    ``sequences`` carry re-blocked 0-30 s timestamps (ready for the SegLST
+    parser in eval/)."""
+    b, _, t_total = input_features.shape
+    num_segment_frames = cfg.max_source_positions * INPUT_STRIDE
+    max_frames = np.asarray(attention_mask).sum(-1).astype(np.int64)
+    seek = np.zeros(b, dtype=np.int64)
+    prompt_len = forced_decoder_ids.shape[1]
+    max_new = max_new_tokens or (gen_cfg.max_length - prompt_len)
+
+    all_segments: List[List[Segment]] = [[] for _ in range(b)]
+    ts_begin = gen_cfg.timestamp_begin
+
+    input_features = np.asarray(input_features)
+    window = np.zeros((b, input_features.shape[1], num_segment_frames),
+                      dtype=np.float32)
+
+    enroll_args = {}
+    if enroll_features is not None:
+        enroll_args = dict(enroll_features=jnp.asarray(enroll_features),
+                           enroll_stno=jnp.asarray(enroll_stno))
+
+    while (seek < max_frames).any():
+        active = seek < max_frames
+        # slice mel windows (host); exhausted rows get silence windows and
+        # terminate in one decode step via the EOS-early-exit rule
+        window[:] = 0.0
+        seek_num_frames = np.minimum(max_frames - seek, num_segment_frames)
+        seek_num_frames = np.maximum(seek_num_frames, 0)
+        for i in range(b):
+            n = int(seek_num_frames[i])
+            if n > 0:
+                window[i, :, :n] = input_features[i, :, seek[i]: seek[i] + n]
+        stno_window = slice_stno_for_seek(stno_mask, seek, max_frames,
+                                          num_segment_frames // 2)
+
+        enc = dicow_encoder_forward(
+            params["encoder"], cfg, jnp.asarray(window),
+            jnp.asarray(stno_window), **enroll_args)
+
+        ctc_scorer = None
+        ctc_state = None
+        if gen_cfg.ctc_weight > 0:
+            from .ctc_rescorer import CTCRescorer, init_ctc_state
+
+            enc_logits = encoder_ctc_logits(params["encoder"], cfg, enc)
+            ctc_scorer = CTCRescorer(cfg=cfg, gen_cfg=gen_cfg)
+            ctc_state = init_ctc_state(enc_logits)
+
+        out = greedy_decode(params, cfg, gen_cfg, enc,
+                            jnp.asarray(forced_decoder_ids), max_new,
+                            ctc_scorer=ctc_scorer, ctc_state=ctc_state)
+        sequences = np.asarray(out.sequences)
+        lengths = np.asarray(out.lengths)
+
+        for i in range(b):
+            if not active[i]:
+                continue
+            seq = sequences[i, prompt_len: lengths[i]]
+            # strip trailing eos/pad
+            while len(seq) and seq[-1] in (gen_cfg.eos_token_id,
+                                           gen_cfg.pad_token_id):
+                seq = seq[:-1]
+            time_offset = float(seek[i]) * TIME_PRECISION / INPUT_STRIDE
+            segments, offset = retrieve_segment(
+                seq, ts_begin, int(seek_num_frames[i]), time_offset)
+            all_segments[i].extend(segments)
+            seek[i] += offset
+
+    sequences = fix_timestamps_from_segmentation(
+        all_segments, ts_begin, gen_cfg.pad_token_id)
+    return LongformOutput(sequences=sequences,
+                          segments=all_segments if return_segments else [])

@@ -164,16 +164,18 @@ def extract_features(waveform: np.ndarray, num_mel_filters: int = 80,
                      pad_to_multiple_of: int = N_SAMPLES):
     """Host entry point matching the reference's feature-extractor call
     (local_datasets.py:208-213): pad to a 30 s multiple, return features and
-    a sample-level attention mask.
+    a MEL-FRAME-level attention mask (HF FE downsamples the sample mask by
+    hop_length — generation's seek logic counts mel frames).
 
-    Returns (features (n_mels, T), attention_mask (n_samples,)).
+    Returns (features (n_mels, T), attention_mask (T,)).
     """
     waveform = np.asarray(waveform, dtype=np.float32).reshape(-1)
     n = waveform.shape[0]
     padded_len = int(np.ceil(max(n, 1) / pad_to_multiple_of)) * pad_to_multiple_of
     padded = np.zeros(padded_len, dtype=np.float32)
     padded[:n] = waveform
-    attention_mask = np.zeros(padded_len, dtype=np.int32)
-    attention_mask[:n] = 1
+    sample_mask = np.zeros(padded_len, dtype=np.int32)
+    sample_mask[:n] = 1
+    attention_mask = sample_mask[::HOP_LENGTH]
     feats = log_mel_spectrogram(jnp.asarray(padded)[None], num_mel_filters)[0]
     return np.asarray(feats), attention_mask
