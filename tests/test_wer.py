@@ -1,0 +1,121 @@
+"""WER engines: hand-verified cases for tcpWER/cpWER/ORC + native kernel."""
+
+import numpy as np
+
+from ts_asr_whisper_tpu.eval.native import (
+    levenshtein,
+    time_constrained_levenshtein,
+)
+from ts_asr_whisper_tpu.eval.seglst import SegLST
+from ts_asr_whisper_tpu.eval.wer import (
+    aggregate_wer_metrics,
+    calc_session_cp_wer,
+    calc_session_orc_wer,
+    calc_session_tcp_wer,
+    calc_session_tcorc_wer,
+)
+
+
+def seg(spk, start, end, words, session="s1"):
+    return {"session_id": session, "speaker": spk, "start_time": start,
+            "end_time": end, "words": words}
+
+
+def test_native_levenshtein():
+    err, c = levenshtein(np.array([1, 2, 3, 4]), np.array([1, 9, 3]))
+    # sub at pos 2, del of 4
+    assert err == 2
+    assert c == {"insertions": 0, "deletions": 1, "substitutions": 1}
+    err, c = levenshtein(np.array([], dtype=np.int32), np.array([5, 6]))
+    assert err == 2 and c["insertions"] == 2
+
+
+def test_native_tclev_collar():
+    ref = np.array([1, 2]), np.array([0.0, 10.0]), np.array([1.0, 11.0])
+    # same words but hyp at wrong times (points)
+    hyp = np.array([1, 2]), np.array([30.0, 40.0]), np.array([30.0, 40.0])
+    err, c = time_constrained_levenshtein(*ref, *hyp, collar=5.0)
+    assert err == 4  # 2 deletions + 2 insertions: matches disallowed
+    err, _ = time_constrained_levenshtein(*ref, *hyp, collar=100.0)
+    assert err == 0
+
+
+def test_tcp_wer_perfect():
+    ref = SegLST([seg("A", 0, 2, "hello world"), seg("B", 3, 5, "good day")])
+    hyp = SegLST([seg("spk0", 0, 2, "hello world"), seg("spk1", 3, 5, "good day")])
+    res = calc_session_tcp_wer(ref, hyp, collar=5)
+    assert res["tcp_wer"] == 0.0
+    assert res["tcp_length"] == 4
+    assert res["tcp_missed_speaker"] == 0
+
+
+def test_cp_wer_permutation_invariance():
+    ref = SegLST([seg("A", 0, 2, "a b c"), seg("B", 3, 5, "x y")])
+    hyp = SegLST([seg("1", 0, 2, "x y"), seg("2", 3, 5, "a b c")])
+    res = calc_session_cp_wer(ref, hyp)
+    assert res["cp_wer"] == 0.0
+
+
+def test_tcp_wer_substitution_and_rate():
+    ref = SegLST([seg("A", 0, 4, "the cat sat down")])
+    hyp = SegLST([seg("h", 0, 4, "the dog sat down")])
+    res = calc_session_tcp_wer(ref, hyp, collar=5)
+    assert res["tcp_errors"] == 1
+    assert res["tcp_substitutions"] == 1
+    assert abs(res["tcp_wer"] - 0.25) < 1e-9
+
+
+def test_tcp_wer_time_constraint_bites():
+    # right words, 60 s late -> collar 5 forbids matching
+    ref = SegLST([seg("A", 0, 2, "hello world")])
+    hyp = SegLST([seg("h", 60, 62, "hello world")])
+    res = calc_session_tcp_wer(ref, hyp, collar=5)
+    assert res["tcp_errors"] == 4  # 2 del + 2 ins
+    res_cp = calc_session_cp_wer(ref, hyp)
+    assert res_cp["cp_errors"] == 0
+
+
+def test_tcp_wer_missed_and_falarm_speakers():
+    ref = SegLST([seg("A", 0, 2, "one two"), seg("B", 3, 5, "three")])
+    hyp = SegLST([seg("h", 0, 2, "one two")])
+    res = calc_session_tcp_wer(ref, hyp, collar=5)
+    assert res["tcp_missed_speaker"] == 1
+    assert res["tcp_errors"] == 1  # 'three' deleted
+    hyp2 = SegLST([seg("h1", 0, 2, "one two"), seg("h2", 3, 5, "three"),
+                   seg("h3", 6, 8, "ghost words here")])
+    res2 = calc_session_tcp_wer(ref, hyp2, collar=5)
+    assert res2["tcp_falarm_speaker"] == 1
+    assert res2["tcp_errors"] == 3  # 3 inserted ghost words
+
+
+def test_orc_wer_stream_assignment():
+    ref = SegLST([seg("A", 0, 2, "alpha beta"), seg("B", 1, 3, "gamma")])
+    # one hyp stream got both in order, second got nothing relevant
+    hyp = SegLST([seg("s0", 0, 2, "alpha beta"), seg("s1", 1, 3, "gamma")])
+    res = calc_session_orc_wer(ref, hyp)
+    assert res["orc_wer"] == 0.0
+
+
+def test_tcorc_chunked_runs():
+    ref = SegLST([seg("A", 0, 2, "a b"), seg("B", 10, 12, "c d"),
+                  seg("A", 20, 22, "e")])
+    hyp = SegLST([seg("x", 0, 2, "a b"), seg("y", 10, 12, "c d"),
+                  seg("x", 20, 22, "e")])
+    res = calc_session_tcorc_wer(ref, hyp, group_duration=5, time_step=0.01,
+                                 collar=5)
+    assert res["tcorc_wer"] == 0.0
+    assert res["tcorc_length"] == 5
+
+
+def test_aggregation():
+    rows = [
+        {"session_id": "a", "tcp_errors": 2, "tcp_length": 10,
+         "tcp_wer": 0.2, "tcp_missed_speaker": 1, "tcp_falarm_speaker": 0,
+         "tcp_scored_speaker": 2},
+        {"session_id": "b", "tcp_errors": 1, "tcp_length": 10,
+         "tcp_wer": 0.1, "tcp_missed_speaker": 0, "tcp_falarm_speaker": 1,
+         "tcp_scored_speaker": 2},
+    ]
+    agg = aggregate_wer_metrics(rows, ["tcp_wer"])
+    assert abs(agg["tcp_wer"] - 0.15) < 1e-9
+    assert agg["tcp_mean_missed_speaker"] == 0.5

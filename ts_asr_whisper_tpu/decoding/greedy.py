@@ -35,7 +35,7 @@ class GreedyOutput(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("cfg", "gen_cfg", "max_new_tokens",
-                                   "ctc_scorer"))
+                                   "ctc_scorer", "force_full_length"))
 def greedy_decode(
     params: Dict[str, Any],
     cfg: DiCoWConfig,
@@ -45,6 +45,7 @@ def greedy_decode(
     max_new_tokens: int,
     ctc_scorer=None,              # optional: see decoding/ctc_rescorer.py
     ctc_state=None,
+    force_full_length: bool = False,  # benchmarking: ignore EOS early exit
 ) -> GreedyOutput:
     dec = params["decoder"]
     b, prompt_len = init_tokens.shape
@@ -77,6 +78,8 @@ def greedy_decode(
         ctc_state: Any
 
     def cond(c: Carry):
+        if force_full_length:
+            return c.cur_len < total_len
         return (c.cur_len < total_len) & ~jnp.all(c.finished)
 
     def body(c: Carry):

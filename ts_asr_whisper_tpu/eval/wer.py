@@ -1,0 +1,410 @@
+"""Multi-talker WER engines: tcpWER, cpWER, ORC-WER, chunked tcORC-WER.
+
+Clean-room implementations of the metrics the reference obtains through
+meeteval (/root/reference/src/utils/wer.py:30-185, wer_utils.py:18-182),
+backed by the native C++ time-constrained Levenshtein (eval/native.py):
+
+- tcpWER: per-speaker word streams with character-proportional pseudo word
+  timings (hypothesis words as interval centers, i.e. points), +-collar on
+  the hypothesis side, optimal speaker permutation via Hungarian assignment
+  with empty-stream padding (missed/false-alarm speakers);
+- cpWER: same assignment over plain Levenshtein distances;
+- ORC-WER: optimal assignment of reference utterances to hypothesis streams
+  (exact enumeration for small utterance counts — the chunked tcORC variant
+  below keeps groups ~5 s so this stays cheap, mirroring the reference's
+  VAD-split strategy, wer_utils.py:95-164);
+- aggregation across sessions identical to aggregate_wer_metrics.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+from .native import (
+    levenshtein,
+    pairwise_tclev_matrix,
+    time_constrained_levenshtein,
+)
+from .seglst import SegLST, create_dummy_seglst, filter_empty_segments
+
+# ---------------------------------------------------------------------------
+# word streams with pseudo timings
+# ---------------------------------------------------------------------------
+
+
+class _Vocab:
+    def __init__(self):
+        self.map: Dict[str, int] = {}
+
+    def __getitem__(self, w: str) -> int:
+        if w not in self.map:
+            self.map[w] = len(self.map)
+        return self.map[w]
+
+
+def _segment_word_times(seg, style: str):
+    """Character-proportional pseudo word timings within the segment
+    (meeteval 'character_based'); 'points' collapses each word interval to
+    its center (meeteval 'character_based_points', the tcpWER hyp default)."""
+    words = str(seg["words"]).split()
+    if not words:
+        return []
+    start, end = float(seg["start_time"]), float(seg["end_time"])
+    dur = max(end - start, 0.0)
+    lens = np.array([max(len(w), 1) for w in words], dtype=np.float64)
+    bounds = np.concatenate([[0.0], np.cumsum(lens)]) / lens.sum()
+    out = []
+    for i, w in enumerate(words):
+        wb = start + bounds[i] * dur
+        we = start + bounds[i + 1] * dur
+        if style == "points":
+            c = 0.5 * (wb + we)
+            out.append((w, c, c))
+        else:
+            out.append((w, wb, we))
+    return out
+
+
+def _speaker_streams(seglst: SegLST, vocab: _Vocab, style: str):
+    """{speaker: (ids int32, begin f64, end f64)}, segments in start order."""
+    out = {}
+    for spk, segs in seglst.groupby("speaker").items():
+        words, begins, ends = [], [], []
+        for seg in segs.sorted("start_time"):
+            for w, wb, we in _segment_word_times(seg, style):
+                words.append(vocab[w])
+                begins.append(wb)
+                ends.append(we)
+        out[spk] = (np.asarray(words, np.int32),
+                    np.asarray(begins, np.float64),
+                    np.asarray(ends, np.float64))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# permutation-based metrics (cpWER / tcpWER)
+# ---------------------------------------------------------------------------
+
+
+def _permutation_wer(ref_streams: dict, hyp_streams: dict,
+                     collar: Optional[float]) -> dict:
+    ref_keys = sorted(ref_streams)
+    hyp_keys = sorted(hyp_streams)
+    n = max(len(ref_keys), len(hyp_keys))
+    empty = (np.zeros(0, np.int32), np.zeros(0, np.float64),
+             np.zeros(0, np.float64))
+    refs = [ref_streams[k] for k in ref_keys] + [empty] * (n - len(ref_keys))
+    hyps = [hyp_streams[k] for k in hyp_keys] + [empty] * (n - len(hyp_keys))
+
+    if collar is not None:
+        cost = pairwise_tclev_matrix(refs, hyps, collar)
+    else:
+        cost = np.zeros((n, n), dtype=np.int64)
+        for r in range(n):
+            for h in range(n):
+                cost[r, h], _ = levenshtein(refs[r][0], hyps[h][0])
+
+    rows, cols = linear_sum_assignment(cost)
+    errors = ins = dele = sub = 0
+    missed = falarm = 0
+    assignment = []
+    for r, h in zip(rows, cols):
+        if collar is not None:
+            e, c = time_constrained_levenshtein(
+                refs[r][0], refs[r][1], refs[r][2],
+                hyps[h][0], hyps[h][1], hyps[h][2], collar)
+        else:
+            e, c = levenshtein(refs[r][0], hyps[h][0])
+        errors += e
+        ins += c["insertions"]
+        dele += c["deletions"]
+        sub += c["substitutions"]
+        ref_name = ref_keys[r] if r < len(ref_keys) else None
+        hyp_name = hyp_keys[h] if h < len(hyp_keys) else None
+        if ref_name is not None and hyp_name is None and len(refs[r][0]):
+            missed += 1
+        if ref_name is None and hyp_name is not None and len(hyps[h][0]):
+            falarm += 1
+        assignment.append((ref_name, hyp_name))
+
+    length = int(sum(len(ref_streams[k][0]) for k in ref_keys))
+    return {
+        "error_rate": errors / length if length else float(errors > 0),
+        "errors": int(errors), "length": length,
+        "insertions": int(ins), "deletions": int(dele),
+        "substitutions": int(sub),
+        "missed_speaker": missed, "falarm_speaker": falarm,
+        "scored_speaker": len(ref_keys),
+        "assignment": assignment,
+    }
+
+
+def calc_session_tcp_wer(ref: SegLST, hyp: SegLST, collar: float) -> dict:
+    vocab = _Vocab()
+    ref_streams = _speaker_streams(filter_empty_segments(ref), vocab, "interval")
+    hyp_streams = _speaker_streams(filter_empty_segments(hyp), vocab, "points")
+    res = _permutation_wer(ref_streams, hyp_streams, collar)
+    return {f"tcp_{k}" if k != "error_rate" else "tcp_wer": v
+            for k, v in res.items()}
+
+
+def calc_session_cp_wer(ref: SegLST, hyp: SegLST) -> dict:
+    vocab = _Vocab()
+    ref_streams = _speaker_streams(filter_empty_segments(ref), vocab, "interval")
+    hyp_streams = _speaker_streams(filter_empty_segments(hyp), vocab, "points")
+    res = _permutation_wer(ref_streams, hyp_streams, None)
+    return {f"cp_{k}" if k != "error_rate" else "cp_wer": v
+            for k, v in res.items()}
+
+
+# ---------------------------------------------------------------------------
+# ORC-WER (utterance-to-stream assignment) + chunked tcORC
+# ---------------------------------------------------------------------------
+
+MAX_ORC_UTTS = 8  # exact enumeration bound per group
+
+
+def _orc_group(ref_utts: List[np.ndarray], hyp_streams: List[np.ndarray],
+               tc: Optional[tuple] = None) -> dict:
+    """Optimal assignment of ref utterances to hyp streams (exact for small
+    groups; greedy extension beyond MAX_ORC_UTTS)."""
+    s = max(len(hyp_streams), 1)
+    if not hyp_streams:
+        hyp_streams = [np.zeros(0, np.int32)]
+
+    def stream_cost(assign: Sequence[int]) -> int:
+        total = 0
+        for si, hyp in enumerate(hyp_streams):
+            ref_cat = np.concatenate(
+                [ref_utts[u] for u, a in enumerate(assign) if a == si]
+                or [np.zeros(0, np.int32)])
+            e, _ = levenshtein(ref_cat, hyp)
+            total += e
+        return total
+
+    n_utt = len(ref_utts)
+    best_assign = None
+    if n_utt == 0:
+        best_assign = ()
+    elif n_utt <= MAX_ORC_UTTS:
+        best_cost = None
+        for assign in itertools.product(range(s), repeat=n_utt):
+            c = stream_cost(assign)
+            if best_cost is None or c < best_cost:
+                best_cost, best_assign = c, assign
+    else:  # greedy chunking fallback
+        best_assign = []
+        for u in range(n_utt):
+            costs = [stream_cost(tuple(best_assign) + (si,)
+                                 + (0,) * 0) for si in range(s)]
+            best_assign.append(int(np.argmin(costs)))
+        best_assign = tuple(best_assign)
+
+    # final counts with the chosen assignment
+    errors = ins = dele = sub = 0
+    for si, hyp in enumerate(hyp_streams):
+        ref_cat = np.concatenate(
+            [ref_utts[u] for u, a in enumerate(best_assign) if a == si]
+            or [np.zeros(0, np.int32)])
+        e, c = levenshtein(ref_cat, hyp)
+        errors += e
+        ins += c["insertions"]
+        dele += c["deletions"]
+        sub += c["substitutions"]
+    length = int(sum(len(u) for u in ref_utts))
+    return {"errors": errors, "length": length, "insertions": ins,
+            "deletions": dele, "substitutions": sub,
+            "assignment": tuple(best_assign)}
+
+
+def create_vad_mask(segments, time_step=0.1, total_duration=None) -> np.ndarray:
+    if total_duration is None:
+        total_duration = max(float(s["end_time"]) for s in segments)
+    mask = np.zeros(int(float(total_duration) / time_step) + 1, dtype=bool)
+    for s in segments:
+        mask[int(float(s["start_time"]) / time_step):
+             int(float(s["end_time"]) / time_step)] = 1
+    return mask
+
+
+def find_group_splits(vad, group_duration=30, time_step=0.1) -> List[int]:
+    non_active = np.argwhere(~vad).squeeze(axis=-1)
+    splits = []
+    shift = group_duration / time_step
+    next_offset = shift
+    for i in non_active:
+        if i >= next_offset:
+            splits.append(int(i))
+            next_offset = i + shift
+    return splits
+
+
+def _map_to_split(t: float, splits: Sequence[float]) -> int:
+    for i, s in enumerate(splits):
+        if t < s:
+            return i
+    return len(splits)
+
+
+def merge_streams(hyp: SegLST) -> SegLST:
+    """Merge non-overlapping speaker streams (wer_utils.py:63-92) to bound
+    the ORC stream count."""
+    groups = hyp.groupby("speaker")
+    masks = {spk: create_vad_mask(segs.segments, time_step=0.01)
+             for spk, segs in groups.items()}
+    if masks:
+        longest = max(len(m) for m in masks.values())
+        masks = {k: np.pad(m, (0, longest - len(m))) for k, m in masks.items()}
+    while True:
+        found = None
+        keys = list(groups)
+        for a in keys:
+            for b in keys:
+                if a != b and not (masks[a] & masks[b]).any():
+                    found = (a, b)
+                    break
+            if found:
+                break
+        if not found:
+            break
+        a, b = found
+        moved = groups[b].map(lambda s: {**s, "speaker": a})
+        groups[a] = groups[a] + moved
+        masks[a] = masks[a] | masks[b]
+        del groups[b], masks[b]
+    return SegLST([s for g in groups.values() for s in g]).sorted("start_time")
+
+
+def _seglst_orc(ref: SegLST, hyp: SegLST) -> dict:
+    vocab = _Vocab()
+    ref_utts = []
+    for seg in ref.sorted("start_time"):
+        words = str(seg["words"]).split()
+        ref_utts.append(np.asarray([vocab[w] for w in words], np.int32))
+    hyp_streams = []
+    for spk, segs in sorted(hyp.groupby("speaker").items()):
+        words = []
+        for seg in segs.sorted("start_time"):
+            words.extend(vocab[w] for w in str(seg["words"]).split())
+        hyp_streams.append(np.asarray(words, np.int32))
+    return _orc_group(ref_utts, hyp_streams)
+
+
+def calc_session_tcorc_wer(ref: SegLST, hyp: SegLST, group_duration=5,
+                           time_step=0.01, collar=5) -> dict:
+    """Chunked tcORC (wer.py:41-86): VAD-split into ~group_duration groups,
+    per-group ORC after stream merging, error aggregation."""
+    ref_f = filter_empty_segments(ref)
+    hyp_f = filter_empty_segments(hyp)
+    if not len(ref_f):
+        return {"tcorc_wer": 0.0, "tcorc_errors": 0, "tcorc_length": 0,
+                "tcorc_insertions": 0, "tcorc_deletions": 0,
+                "tcorc_substitutions": 0, "tcorc_assignment": ()}
+    ref_vad = create_vad_mask(ref_f.segments, time_step=time_step)
+    hyp_vad = (create_vad_mask(hyp_f.segments, time_step=time_step)
+               if len(hyp_f) else ref_vad)
+    n = max(len(ref_vad), len(hyp_vad))
+    vad = np.pad(ref_vad, (0, n - len(ref_vad))) | \
+        np.pad(hyp_vad, (0, n - len(hyp_vad)))
+    splits = np.array(find_group_splits(vad, group_duration, time_step)) \
+        * time_step
+
+    def group_of(seg):
+        return _map_to_split(float(seg["start_time"]), splits) \
+            if len(splits) else 0
+
+    totals = {"errors": 0, "length": 0, "insertions": 0, "deletions": 0,
+              "substitutions": 0, "assignment": []}
+    group_ids = sorted({group_of(s) for s in ref_f} | {group_of(s) for s in hyp_f})
+    for gid in group_ids:
+        ref_g = ref_f.filter(lambda s: group_of(s) == gid)
+        hyp_g = hyp_f.filter(lambda s: group_of(s) == gid)
+        if not len(ref_g) and not len(hyp_g):
+            continue
+        if not len(hyp_g):
+            hyp_g = create_dummy_seglst(str(gid))
+        hyp_merged = merge_streams(hyp_g)
+        res = _seglst_orc(ref_g, hyp_merged)
+        for k in ("errors", "length", "insertions", "deletions",
+                  "substitutions"):
+            totals[k] += res[k]
+        totals["assignment"].extend(res["assignment"])
+    totals["assignment"] = tuple(totals["assignment"])
+    out = {"tcorc_wer": (totals["errors"] / totals["length"]
+                         if totals["length"] else 0.0)}
+    out.update({f"tcorc_{k}": v for k, v in totals.items()})
+    return out
+
+
+def calc_session_orc_wer(ref: SegLST, hyp: SegLST) -> dict:
+    res = _seglst_orc(filter_empty_segments(ref), filter_empty_segments(hyp))
+    out = {"orc_wer": res["errors"] / res["length"] if res["length"] else 0.0}
+    out.update({f"orc_{k}": v for k, v in res.items()})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# session driver + aggregation (reference wer.py:109-185, wer_utils.py:167-182)
+# ---------------------------------------------------------------------------
+
+
+def calc_wer(out_dir, tcp_wer_hyp_json, tcorc_wer_hyp_json, ref_file,
+             collar: int = 5, save_visualizations: bool = False,
+             metrics_list: Optional[List[str]] = None) -> List[dict]:
+    metrics_list = metrics_list or ["tcp_wer"]
+    tcp_hyp = SegLST.load(tcp_wer_hyp_json)
+    tcorc_hyp = SegLST.load(tcorc_wer_hyp_json)
+    ref = SegLST.load(ref_file)
+    session_id = ref.segments[0]["session_id"] if len(ref) else "unknown"
+    if not len(tcp_hyp):
+        tcp_hyp = create_dummy_seglst(session_id)
+    if not len(tcorc_hyp):
+        tcorc_hyp = create_dummy_seglst(session_id)
+
+    row = {"session_id": session_id}
+    if "cp_wer" in metrics_list:
+        row.update(calc_session_cp_wer(ref, tcp_hyp))
+    if "tcp_wer" in metrics_list:
+        row.update(calc_session_tcp_wer(ref, tcp_hyp, collar))
+    if "tcorc_wer" in metrics_list:
+        row.update(calc_session_tcorc_wer(ref, tcorc_hyp, group_duration=5,
+                                          time_step=0.01, collar=collar))
+    if "orc_wer" in metrics_list:
+        row.update(calc_session_orc_wer(ref, tcorc_hyp))
+    if save_visualizations:
+        try:
+            from .viz import save_wer_visualization
+
+            save_wer_visualization(ref, tcp_hyp, out_dir)
+        except Exception:
+            pass
+    return [row]
+
+
+def aggregate_wer_metrics(rows: List[dict],
+                          metrics_list: List[str]) -> Dict[str, float]:
+    """Sum numeric fields across sessions, recompute rates
+    (wer_utils.py:167-182)."""
+    metrics: Dict[str, float] = {}
+    numeric_keys = set()
+    for row in rows:
+        for k, v in row.items():
+            if isinstance(v, (int, float, np.integer, np.floating)):
+                numeric_keys.add(k)
+    for k in numeric_keys:
+        metrics[k] = float(sum(row.get(k, 0) for row in rows))
+    for metric in metrics_list:
+        prefix = metric.split("_", maxsplit=1)[0]
+        if f"{prefix}_errors" in metrics and f"{prefix}_length" in metrics:
+            denom = max(metrics[f"{prefix}_length"], 1.0)
+            metrics[f"{prefix}_wer"] = metrics[f"{prefix}_errors"] / denom
+        for k in ("missed_speaker", "falarm_speaker", "scored_speaker"):
+            key = f"{prefix}_{k}"
+            if key in metrics:
+                metrics[f"{prefix}_mean_{k}"] = metrics[key] / max(len(rows), 1)
+                del metrics[key]
+    return metrics
