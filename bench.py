@@ -61,13 +61,14 @@ def main():
                             force_full_length=True)
         return out.sequences
 
-    # warmup/compile
-    jax.block_until_ready(window(params))
+    # warmup/compile (np.asarray forces full materialization — on remoted
+    # backends block_until_ready alone can return before execution finishes)
+    np.asarray(window(params))
 
     t0 = time.perf_counter()
     for _ in range(iters):
         out = window(params)
-    jax.block_until_ready(out)
+    np.asarray(out)
     elapsed = time.perf_counter() - t0
 
     audio_seconds = batch * 30.0 * iters

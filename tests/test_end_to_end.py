@@ -1,0 +1,150 @@
+"""Full-pipeline integration test: synthesize wav + manifests, then run
+train (few steps) and decode+score through the real CLI path."""
+
+import gzip
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from ts_asr_whisper_tpu.config import load_config
+from ts_asr_whisper_tpu.data.audio import save_wav
+
+SR = 16000
+
+
+def _make_recording(tmp: Path, rec_id: str, duration: float, rng):
+    n = int(SR * duration)
+    t = np.arange(n) / SR
+    wav = (0.1 * np.sin(2 * np.pi * 220 * t)
+           + 0.02 * rng.standard_normal(n)).astype(np.float32)
+    path = tmp / f"{rec_id}.wav"
+    save_wav(str(path), wav, SR)
+    return {
+        "id": rec_id,
+        "sources": [{"type": "file", "channels": [0], "source": str(path)}],
+        "sampling_rate": SR,
+        "num_samples": n,
+        "duration": duration,
+    }
+
+
+def _cut(rec, cut_id, sups):
+    return {
+        "id": cut_id,
+        "start": 0.0,
+        "duration": rec["duration"],
+        "channel": 0,
+        "supervisions": sups,
+        "recording": rec,
+        "type": "MonoCut",
+    }
+
+
+def _sup(rec_id, start, dur, text, speaker):
+    return {"id": f"{rec_id}-{speaker}-{start}", "recording_id": rec_id,
+            "start": start, "duration": dur, "channel": 0, "text": text,
+            "speaker": speaker, "language": "en"}
+
+
+def _write_manifest(path: Path, cuts):
+    with gzip.open(path, "wt") as f:
+        for c in cuts:
+            f.write(json.dumps(c) + "\n")
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("corpus")
+    rng = np.random.default_rng(0)
+
+    # train: two short 2-speaker recordings
+    train_cuts = []
+    for i in range(2):
+        rec = _make_recording(tmp, f"train{i}", 8.0, rng)
+        sups = [_sup(rec["id"], 0.5, 3.0, "hello world how are you", "spkA"),
+                _sup(rec["id"], 4.0, 3.0, "fine thank you very much", "spkB")]
+        train_cuts.append(_cut(rec, f"train{i}_cut", sups))
+    train_manifest = tmp / "train_cutset_30s.jsonl.gz"
+    _write_manifest(train_manifest, train_cuts)
+
+    # eval: one longer recording (forces >1 seek window at tiny context)
+    rec = _make_recording(tmp, "eval0", 10.0, rng)
+    sups = [_sup(rec["id"], 0.5, 4.0, "good morning to everyone here", "spkA"),
+            _sup(rec["id"], 5.0, 4.0, "thanks for coming today folks", "spkB")]
+    eval_manifest = tmp / "eval_cutset.jsonl.gz"
+    _write_manifest(eval_manifest, [_cut(rec, "eval0_cut", sups)])
+
+    # tiny model dir (config.json only -> random init + byte tokenizer)
+    model_dir = tmp / "model"
+    model_dir.mkdir()
+    with open(model_dir / "config.json", "w") as f:
+        json.dump({
+            "vocab_size": 2000, "num_mel_bins": 80, "d_model": 32,
+            "encoder_layers": 2, "decoder_layers": 2,
+            "encoder_attention_heads": 2, "decoder_attention_heads": 2,
+            "encoder_ffn_dim": 64, "decoder_ffn_dim": 64,
+            "max_source_positions": 1500, "max_target_positions": 64,
+        }, f)
+    return {"tmp": tmp, "train": train_manifest, "eval": eval_manifest,
+            "model": model_dir}
+
+
+def _base_overrides(corpus, out_dir):
+    return [
+        f"model.whisper_model={corpus['model']}",
+        f"data.train_cutsets=[{corpus['train']}]",
+        f"data.dev_cutsets=[{corpus['eval']}]",
+        f"data.eval_cutsets=[{corpus['eval']}]",
+        "data.use_timestamps=true",
+        "data.train_text_norm=null",
+        "data.eval_text_norm=null",
+        "model.ctc_weight=0.3",
+        "model.pre_ctc_sub_sample=true",
+        "model.additional_self_attention_layer=true",
+        "model.dtype=float32",
+        "training.overall_batch_size=2",
+        "training.gradient_accumulation_steps=1",
+        "training.per_device_eval_batch_size=2",
+        "training.generation_max_length=40",
+        "training.logging_steps=1",
+        "training.eval_strategy=no",
+        "training.save_strategy=no",
+        "training.use_fddt_only_n_steps=1",
+        "training.dataloader_num_workers=1",
+        "aug.spec_aug_prob=0.0",
+        "aug.stno_segment_augment_prob=0.0",
+        f"training.output_dir={out_dir}",
+    ]
+
+
+def test_train_few_steps_and_decode(corpus, tmp_path):
+    from ts_asr_whisper_tpu.train import ModelTrainer
+
+    out_dir = tmp_path / "exp"
+    cfg = load_config(_base_overrides(corpus, out_dir)
+                      + ["training.max_steps=3"], n_devices=1)
+    cfg.training.mesh_shape = [1]
+    trainer = ModelTrainer(cfg)
+    metrics = trainer.train()
+    # training ran + final test eval produced tcpWER metrics
+    key = [k for k in metrics if k.endswith("tcp_wer")]
+    assert key, metrics
+    assert (out_dir / "hf_export" / "model.safetensors").exists()
+    # per-session outputs written
+    wer_csvs = list(out_dir.rglob("all_session_wer.csv"))
+    assert wer_csvs
+
+
+def test_decode_only(corpus, tmp_path):
+    from ts_asr_whisper_tpu.train import ModelTrainer
+
+    out_dir = tmp_path / "dec"
+    cfg = load_config(_base_overrides(corpus, out_dir)
+                      + ["training.decode_only=true"], n_devices=1)
+    cfg.training.mesh_shape = [1]
+    trainer = ModelTrainer(cfg)
+    metrics = trainer.train()
+    assert any(k.endswith("tcp_wer") for k in metrics)

@@ -361,7 +361,32 @@ def compose(overrides: Optional[List[str]] = None,
     return _interp(cfg, cfg)
 
 
+def _coerce(value, ftype):
+    """Coerce YAML scalars to the annotated type (PyYAML 1.1 parses '2e-6'
+    and 'yes'-less booleans as strings)."""
+    import typing
+
+    origin = typing.get_origin(ftype)
+    if origin is typing.Union:
+        args = [a for a in typing.get_args(ftype) if a is not type(None)]
+        if value is None:
+            return None
+        if len(args) == 1:
+            return _coerce(value, args[0])
+        return value
+    if ftype is float and isinstance(value, (int, str)):
+        return float(value)
+    if ftype is int and isinstance(value, str):
+        return int(value)
+    if ftype is bool and isinstance(value, str):
+        return value.lower() in ("1", "true", "yes")
+    return value
+
+
 def _build_dc(cls, data: dict):
+    import typing
+
+    hints = typing.get_type_hints(cls)
     names = {f.name for f in fields(cls)}
     unknown = set(data) - names
     if unknown:
@@ -370,8 +395,11 @@ def _build_dc(cls, data: dict):
     for f in fields(cls):
         if f.name in data:
             v = data[f.name]
-            if dataclasses.is_dataclass(f.type) and isinstance(v, dict):
-                v = _build_dc(f.type, v)
+            ftype = hints.get(f.name, f.type)
+            if dataclasses.is_dataclass(ftype) and isinstance(v, dict):
+                v = _build_dc(ftype, v)
+            else:
+                v = _coerce(v, ftype)
             kwargs[f.name] = v
     return cls(**kwargs)
 

@@ -62,6 +62,9 @@ class DataCollator:
     spec_aug_prob: float = 0.3
     use_enrollments: bool = False
     spec_aug: SpecAug = field(default=None)
+    # pad labels up to a multiple of this so the jitted train step sees a
+    # small set of static shapes (XLA recompiles per unique length)
+    pad_labels_to_multiple_of: int = 32
 
     def __post_init__(self):
         if self.spec_aug is None:
@@ -117,6 +120,15 @@ class DataCollator:
                 if int(v) in upper_map:
                     flat[i] = upper_map[int(v)]
             upp = flat.reshape(labels.shape)
+        if self.pad_labels_to_multiple_of and not in_longform:
+            t = labels.shape[1]
+            target = -(-t // self.pad_labels_to_multiple_of) \
+                * self.pad_labels_to_multiple_of
+            if target > t:
+                pad = np.full((labels.shape[0], target - t), -100,
+                              dtype=labels.dtype)
+                labels = np.concatenate([labels, pad], axis=1)
+                upp = np.concatenate([upp, pad], axis=1)
         batch["labels"] = labels
         batch["upp_labels"] = upp
 

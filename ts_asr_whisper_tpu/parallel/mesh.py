@@ -29,7 +29,11 @@ def make_mesh(shape: Optional[Sequence[int]] = None,
     devices = devices if devices is not None else jax.devices()
     if shape is None:
         shape = (len(devices),)
-    dev_array = np.asarray(devices).reshape(tuple(shape))
+    needed = int(np.prod(shape))
+    if needed > len(devices):
+        raise ValueError(f"mesh shape {shape} needs {needed} devices, "
+                         f"have {len(devices)}")
+    dev_array = np.asarray(devices[:needed]).reshape(tuple(shape))
     return Mesh(dev_array, tuple(axis_names))
 
 

@@ -1,0 +1,224 @@
+"""Fine-tune / decode orchestration — the reference's ModelTrainer
+(/root/reference/src/train.py:23-268) rebuilt around the JAX trainer:
+
+container init -> cutset loading (+ enrollment union) -> datasets/collator ->
+optional weight re-init -> pjit trainer with long-form eval callbacks ->
+final test evaluation. ``decode_only`` skips straight to evaluation.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+from .config import Cfg
+from .data.collators import DataCollator
+from .data.datasets import TS_ASR_Dataset, build_datasets, load_cutsets
+from .data.manifests import CutSet
+from .decoding.generation_config import GenerationConfig
+from .decoding.longform import longform_generate
+from .eval.metrics import compute_longform_metrics
+from .models.containers import WhisperContainer
+from .training.checkpoints import export_hf_checkpoint, save_checkpoint
+from .training.dataloader import DataLoader, eval_batches
+from .training.trainer import Trainer
+from .txt_norm import get_text_norm
+from .utils.logging_def import get_logger
+
+logger = get_logger(__name__)
+
+
+def make_generation_config(container: WhisperContainer, cfg: Cfg,
+                           predict_timestamps: bool = True) -> GenerationConfig:
+    """update_generation_config equivalent (reference general.py:19-37)."""
+    tok = container.tokenizer
+    mc = container.model_config
+    kw = dict(
+        max_length=cfg.training.generation_max_length,
+        num_beams=cfg.training.generation_num_beams,
+        decoder_start_token_id=mc.decoder_start_token_id,
+        eos_token_id=mc.eos_token_id,
+        pad_token_id=mc.pad_token_id,
+        bos_token_id=mc.bos_token_id,
+        no_timestamps_token_id=mc.no_timestamps_token_id,
+        return_timestamps=predict_timestamps,
+        ctc_weight=cfg.decoding.decoding_ctc_weight or 0.0,
+        length_penalty=cfg.decoding.length_penalty or 1.0,
+        begin_suppress_tokens=(),
+        max_initial_timestamp_index=None,
+    )
+    gen_json = None
+    model_dir = Path(cfg.model.whisper_model)
+    if model_dir.exists() and (model_dir / "generation_config.json").exists():
+        gen_json = model_dir / "generation_config.json"
+    if gen_json:
+        return GenerationConfig.from_json(str(gen_json), **kw)
+    if hasattr(tok, "lang_to_id"):
+        kw["lang_ids"] = tuple(sorted(tok.lang_to_id.values()))
+    return GenerationConfig(**kw)
+
+
+class ModelTrainer:
+    def __init__(self, cfg: Cfg):
+        self.cfg = cfg
+        self.container = WhisperContainer(cfg, seed=cfg.training.seed)
+
+        # weight re-init (reference train.py:102-125)
+        if cfg.model.reinit_encoder_from:
+            self.container.reinit_encoder_from(cfg.model.reinit_encoder_from)
+        elif cfg.model.reinit_from:
+            self.container.reinit_from(cfg.model.reinit_from)
+
+        self.train_text_norm = get_text_norm(cfg.data.train_text_norm)
+        self.eval_text_norm = get_text_norm(cfg.data.eval_text_norm)
+
+        data = cfg.data
+        self.enrollment_cutset = None
+        if data.use_enrollments and data.enrollment_cutsets:
+            csets = load_cutsets(list(data.enrollment_cutsets), False)
+            self.enrollment_cutset = reduce(lambda a, b: a + b, csets)
+
+        num_mel = self.container.model_config.num_mel_bins
+        self.train_dataset = None
+        if data.train_cutsets and not cfg.training.decode_only:
+            train_csets = load_cutsets(list(data.train_cutsets),
+                                       data.use_enrollments)
+            self.train_dataset = TS_ASR_Dataset(
+                train_csets,
+                text_norm=self.train_text_norm,
+                use_timestamps=data.use_timestamps,
+                dataset_weights=data.dataset_weights,
+                num_mel_bins=num_mel,
+                global_lang_id=data.global_lang_id,
+                musan_augment_prob=cfg.aug.musan_augment_prob,
+                musan_root=cfg.aug.musan_root,
+                use_enrollments=data.use_enrollments,
+                enrollment_cutset=self.enrollment_cutset,
+                num_other_speakers=data.number_of_mixed_speakers,
+                min_overlap_ratio=data.min_enrollment_mix_overlap,
+                max_overlap_ratio=data.max_enrollment_mix_overlap,
+            )
+
+        self.dev_datasets = self._build_eval(data.dev_cutsets,
+                                             data.dev_diar_cutsets)
+        self.eval_datasets = self._build_eval(data.eval_cutsets,
+                                              data.eval_diar_cutsets)
+
+        self.collator = DataCollator(
+            tokenizer=self.container.tokenizer,
+            bos_token_id=self.container.model_config.bos_token_id,
+            max_length=cfg.training.generation_max_length,
+            stno_gaussian_noise_var=cfg.aug.stno_gaussian_noise_var,
+            stno_gaussian_noise_prob=cfg.aug.stno_gaussian_noise_prob,
+            stno_segment_augment_prob=cfg.aug.stno_segment_augment_prob,
+            stno_segment_change_prob=cfg.aug.stno_segment_change_prob,
+            stno_min_segment_length=cfg.aug.stno_min_segment_length,
+            stno_max_segment_length=cfg.aug.stno_max_segment_length,
+            spec_aug_prob=cfg.aug.spec_aug_prob if cfg.aug.do_augment
+            or cfg.aug.spec_aug_prob else 0.0,
+            use_enrollments=data.use_enrollments,
+        )
+        self.gen_cfg = make_generation_config(
+            self.container, cfg, predict_timestamps=data.use_timestamps)
+
+    def _build_eval(self, cutset_paths, diar_paths) -> Dict[str, object]:
+        if not cutset_paths:
+            return {}
+        existing = [p for p in cutset_paths if Path(p).exists()
+                    or Path(str(p).replace("_external_enrollment", "")).exists()]
+        if not existing:
+            logger.warning("No eval cutsets found among %s", cutset_paths)
+            return {}
+        return build_datasets(
+            existing, self.cfg.data, self.eval_text_norm,
+            self.container.model_config.num_mel_bins,
+            diar_cutset_paths=diar_paths if self.cfg.data.use_diar else None,
+            enrollment_cutset=self.enrollment_cutset)
+
+    # -- evaluation ------------------------------------------------------------
+    def evaluate_dataset(self, params, name: str, dataset,
+                         output_dir: str) -> Dict[str, float]:
+        tok = self.container.tokenizer
+        mc = self.container.model_config
+        preds, keys = [], []
+        bs = self.cfg.training.per_device_eval_batch_size
+        for batch in eval_batches(dataset, self.collator, bs):
+            forced = batch.get("forced_decoder_ids")
+            if forced is None:
+                prefix = np.asarray(tok.prefix_tokens[:3], dtype=np.int64)
+                forced = np.tile(prefix, (batch["input_features"].shape[0], 1))
+            out = longform_generate(
+                params, mc, self.gen_cfg,
+                batch["input_features"], batch["stno_mask"],
+                batch["attention_mask"], forced,
+                enroll_features=batch.get("enroll_features"),
+                enroll_stno=batch.get("enroll_stno"))
+            preds.extend(list(out.sequences))
+            labels = batch["labels"]
+            for row in labels:
+                row = row[row != -100]
+                keys.append(tok.decode(row, skip_special_tokens=True))
+        return compute_longform_metrics(
+            preds, keys, dataset, tok, output_dir, self.eval_text_norm,
+            metrics_list=self.cfg.training.eval_metrics_list,
+            save_visualizations=self.cfg.training.save_visualizations)
+
+    def do_eval(self, params, datasets: Dict[str, object], step: int,
+                split: str) -> Dict[str, float]:
+        metrics: Dict[str, float] = {}
+        out_root = Path(self.cfg.training.output_dir)
+        for name, ds in datasets.items():
+            out_dir = out_root / f"{split}_{name}" / f"step_{step}"
+            res = self.evaluate_dataset(params, name, ds, str(out_dir))
+            metrics.update({f"eval_{name}_{k}": v for k, v in res.items()})
+            logger.info("eval %s@%d: %s", name, step,
+                        {k: round(v, 4) for k, v in res.items()})
+        return metrics
+
+    # -- training ---------------------------------------------------------------
+    def train(self):
+        t = self.cfg.training
+        os.makedirs(t.output_dir, exist_ok=True)
+
+        if t.decode_only:
+            metrics = self.do_eval(self.container.params, self.eval_datasets,
+                                   0, "test")
+            return metrics
+
+        num_prefix = len(self.container.tokenizer.prefix_tokens) - 1
+
+        def eval_fn(params, step):
+            return self.do_eval(params, self.dev_datasets, step, "dev")
+
+        def checkpoint_fn(params, step):
+            save_checkpoint(os.path.join(t.output_dir, "ckpt"), params,
+                            step=step, keep=t.save_total_limit)
+
+        trainer = Trainer(self.cfg, self.container.model_config,
+                          self.container.params,
+                          num_prefix_tokens=num_prefix,
+                          eval_fn=eval_fn if self.dev_datasets else None,
+                          checkpoint_fn=checkpoint_fn)
+
+        loader = DataLoader(self.train_dataset, self.collator,
+                            batch_size=t.per_device_train_batch_size
+                            * max(1, trainer.mesh.size),
+                            seed=t.seed,
+                            num_workers=t.dataloader_num_workers,
+                            prefetch_factor=t.dataloader_prefetch_factor)
+        state = trainer.train(iter(loader))
+
+        export_hf_checkpoint(state.params, self.container.model_config,
+                             os.path.join(t.output_dir, "hf_export"))
+        if self.eval_datasets:
+            return self.do_eval(state.params, self.eval_datasets,
+                                state.step, "test")
+        return {}
+
+
+def main(cfg: Cfg):
+    return ModelTrainer(cfg).train()

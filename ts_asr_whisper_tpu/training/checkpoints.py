@@ -1,0 +1,95 @@
+"""Checkpointing: Orbax for native train state + HF-safetensors bridge.
+
+The reference delegates to HF Trainer (safetensors snapshots,
+configs/base.yaml:81-92) and ships hub-export tooling
+(utils/export_dicow.py). Here: Orbax checkpoints carry params + optimizer
+state + step for exact resume; export/import to HF safetensors keeps
+checkpoint interoperability with the torch ecosystem (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+from ..models.config import DiCoWConfig
+from ..models.convert import params_to_hf, save_safetensors
+from ..utils.logging_def import get_logger
+
+logger = get_logger(__name__)
+
+
+def save_checkpoint(directory: str, params: Any, opt_state: Any = None,
+                    step: int = 0, keep: int = 1) -> str:
+    """Orbax checkpoint under directory/step_<n>; prunes old ones."""
+    import orbax.checkpoint as ocp
+
+    directory = Path(directory).resolve()
+    directory.mkdir(parents=True, exist_ok=True)
+    path = directory / f"step_{step}"
+    ckptr = ocp.StandardCheckpointer()
+    state = {"params": params}
+    if opt_state is not None:
+        state["opt_state"] = opt_state
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    (directory / "latest").write_text(str(step))
+    # prune
+    ckpts = sorted(directory.glob("step_*"),
+                   key=lambda p: int(p.name.split("_")[1]))
+    for old in ckpts[:-keep]:
+        import shutil
+
+        shutil.rmtree(old, ignore_errors=True)
+    return str(path)
+
+
+def restore_checkpoint(directory: str, template: Any,
+                       step: Optional[int] = None) -> tuple:
+    import orbax.checkpoint as ocp
+
+    directory = Path(directory).resolve()
+    if step is None:
+        step = int((directory / "latest").read_text())
+    ckptr = ocp.StandardCheckpointer()
+    state = ckptr.restore(directory / f"step_{step}", template)
+    return state, step
+
+
+def export_hf_checkpoint(params: Any, cfg: DiCoWConfig, out_dir: str,
+                         generation_config: Optional[dict] = None) -> None:
+    """Write model.safetensors + config.json in the DiCoW HF layout
+    (utils/export_dicow.py equivalent, minus the hub push)."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    sd = params_to_hf(params, cfg)
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    save_safetensors(sd, str(out / "model.safetensors"))
+    config = {
+        "model_type": "DiCoW",
+        "architectures": ["DiCoWForConditionalGeneration"],
+        **{k: getattr(cfg, k) for k in (
+            "vocab_size", "num_mel_bins", "d_model", "encoder_layers",
+            "decoder_layers", "encoder_attention_heads",
+            "decoder_attention_heads", "encoder_ffn_dim", "decoder_ffn_dim",
+            "max_source_positions", "max_target_positions",
+            "decoder_start_token_id", "eos_token_id", "pad_token_id",
+            "bos_token_id", "ctc_weight", "additional_layer",
+            "additional_self_attention_layer", "pre_ctc_sub_sample",
+            "use_fddt", "fddt_is_diagonal", "fddt_bias_only",
+            "fddt_use_silence", "fddt_use_target", "fddt_use_overlap",
+            "fddt_use_non_target", "remove_timestamps_from_ctc",
+            "apply_fddt_to_n_layers", "fddt_init", "non_target_fddt_value",
+            "use_enrollments", "scb_layers", "use_pre_pos_fddt")},
+    }
+    with open(out / "config.json", "w") as f:
+        json.dump(config, f, indent=2)
+    if generation_config:
+        with open(out / "generation_config.json", "w") as f:
+            json.dump(generation_config, f, indent=2)
+    logger.info("Exported HF checkpoint to %s", out)

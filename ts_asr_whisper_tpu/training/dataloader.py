@@ -1,0 +1,94 @@
+"""Host data loading: shuffling sampler + threaded prefetch.
+
+Replaces torch DataLoader workers (the reference's dataloader_num_workers /
+prefetch_factor knobs, configs/base.yaml:58-60). Feature extraction and
+collation run in a thread pool while the device executes the previous step —
+the standard TPU host-overlap pattern.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+class DataLoader:
+    def __init__(self, dataset, collate_fn: Callable, batch_size: int,
+                 shuffle: bool = True, seed: int = 0, drop_last: bool = True,
+                 num_workers: int = 2, prefetch_factor: int = 2,
+                 num_epochs: Optional[int] = None):
+        self.dataset = dataset
+        self.collate_fn = collate_fn
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch_factor)
+        self.num_epochs = num_epochs
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + epoch)
+            rng.shuffle(idx)
+        return idx
+
+    def _batches(self) -> Iterator[List[int]]:
+        epoch = 0
+        while self.num_epochs is None or epoch < self.num_epochs:
+            idx = self._epoch_indices(epoch)
+            end = len(idx) - (len(idx) % self.batch_size
+                              if self.drop_last else 0)
+            for i in range(0, end, self.batch_size):
+                yield idx[i : i + self.batch_size].tolist()
+            epoch += 1
+
+    def __iter__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def make_batch(batch_idx):
+            samples = [self.dataset[i] for i in batch_idx]
+            return self.collate_fn(samples)
+
+        def producer():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                pending = []
+                for batch_idx in self._batches():
+                    if stop.is_set():
+                        break
+                    pending.append(pool.submit(make_batch, batch_idx))
+                    while len(pending) >= self.prefetch:
+                        q.put(pending.pop(0).result())
+                for fut in pending:
+                    if stop.is_set():
+                        break
+                    q.put(fut.result())
+            q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+
+
+def eval_batches(dataset, collate_fn: Callable, batch_size: int):
+    """Sequential, non-shuffled batches covering the whole dataset (the last
+    batch may be smaller)."""
+    n = len(dataset)
+    for i in range(0, n, batch_size):
+        samples = [dataset[j] for j in range(i, min(i + batch_size, n))]
+        yield collate_fn(samples)
