@@ -1,0 +1,173 @@
+"""Joint CTC rescoring inside the decode loop.
+
+Functional re-design of the reference CTCRescorerLogitsProcessor
+(/root/reference/src/models/dicow/decoding.py:166-338): per step, the top-K
+attention candidates (+EOS) get CTC prefix scores; fused score =
+(1-w)*attention + w*(psi - psi_prev); timestamp tokens are "transparent"
+(they take the row-max CTC score and do not advance the CTC state).
+
+Prefix bookkeeping (decoded_len, last label) is recomputed from the token
+buffer each step with the reference's EXACT semantics — including its
+positional gather for the "last non-timestamp token" (decoding.py:298-302),
+which with interleaved timestamps picks the token at index
+(#text_tokens - 1) of the transformed sequence rather than the true last
+text token; we reproduce it bit-for-bit for decode parity.
+
+The scorer object is a hashable static config; all mutable state (case-folded
+encoder log-probs, per-hypothesis prefix states, candidate slots) lives in a
+CTCState pytree threaded through the jitted loop. Encoder log-probs are
+stored once per AUDIO row and indexed by hypothesis (beams share them) —
+unlike the reference's repeat_interleave copy (generation.py:254).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.ctc_prefix import (
+    LOG_ZERO,
+    ctc_prefix_scores,
+    initial_ctc_state,
+)
+
+
+class CTCState(NamedTuple):
+    logp: jax.Array          # (B_audio, T, V) case-folded log-probs
+    audio_idx: jax.Array     # (Bb,) hypothesis -> audio row
+    r_prev: jax.Array        # (Bb, T, 2)
+    score_prev: jax.Array    # (Bb,)
+    cand_ids: jax.Array      # (Bb, K) last step's scored candidates
+    cand_states: jax.Array   # (Bb, K, T, 2)
+    cand_scores: jax.Array   # (Bb, K) psi of candidates
+
+
+def init_ctc_state(enc_logits: jax.Array, blank: int,
+                   upper_to_lower: Optional[np.ndarray] = None,
+                   num_beams: int = 1, k: int = 500) -> CTCState:
+    """enc_logits: (B_audio, T, V) raw CTC-head logits.
+    upper_to_lower: (2, n_pairs) [upper_ids; lower_ids] — upper-case token
+    columns take their lower-case column's probability
+    (decoding.py:183-186)."""
+    logp = jax.nn.log_softmax(enc_logits.astype(jnp.float32), axis=-1)
+    if upper_to_lower is not None and np.asarray(upper_to_lower).size:
+        upper = jnp.asarray(upper_to_lower[0])
+        lower = jnp.asarray(upper_to_lower[1])
+        logp = logp.at[..., upper].set(logp[..., lower])
+    b_audio, t_len, _ = logp.shape
+    bb = b_audio * num_beams
+    audio_idx = jnp.arange(bb) // num_beams
+    r0, s0 = initial_ctc_state(logp, blank)
+    return CTCState(
+        logp=logp,
+        audio_idx=audio_idx,
+        r_prev=r0[audio_idx],
+        score_prev=jnp.zeros((bb,), jnp.float32),
+        cand_ids=jnp.zeros((bb, k), jnp.int32),
+        cand_states=jnp.full((bb, k, t_len, 2), LOG_ZERO, jnp.float32),
+        cand_scores=jnp.full((bb, k), LOG_ZERO, jnp.float32),
+    )
+
+
+@dataclass(frozen=True)
+class CTCRescorer:
+    """Static config for joint CTC rescoring (hashable jit argument)."""
+
+    blank_id: int
+    eos_id: int
+    timestamp_begin: int     # vocab id of <|0.00|>
+    ctc_weight: float
+    k: int = 500
+    prefix_len: int = 3      # len(tokenizer.prefix_tokens)
+
+    def _prefix_stats(self, tokens: jax.Array, cur_len: jax.Array):
+        """Reference prefix transformations (decoding.py:277-302), computed
+        with masks over the static buffer. The transformed sequence is
+        tokens[:, strip:cur_len] with element 0 set to blank."""
+        strip = self.prefix_len - 1 if self.prefix_len > 1 else 0
+        bb, buf_len = tokens.shape
+        pos = jnp.arange(buf_len)
+        in_seq = (pos >= strip) & (pos < cur_len)
+        vals = jnp.where(pos[None, :] == strip, self.blank_id, tokens)
+        is_text_or_blank = ((vals < self.timestamp_begin)
+                            | (vals == self.blank_id)) & in_seq[None, :]
+        decoded_len = (((vals <= self.timestamp_begin)
+                        & (vals != self.blank_id)) & in_seq[None, :]) \
+            .sum(axis=1).astype(jnp.int32)
+        last_raw = vals[:, jnp.maximum(cur_len - 1, 0)]  # cur_len is scalar
+        last_is_ts = (last_raw >= self.timestamp_begin) \
+            & (last_raw != self.blank_id)
+        gather_idx = strip + is_text_or_blank.sum(axis=1) - 1
+        gathered = jnp.take_along_axis(vals, gather_idx[:, None], axis=1)[:, 0]
+        gathered = jnp.where(gather_idx == strip, self.blank_id, gathered)
+        last = jnp.where(last_is_ts, gathered, last_raw).astype(jnp.int32)
+        return decoded_len, last
+
+    def rescore(self, state: CTCState, tokens: jax.Array, cur_len: jax.Array,
+                scores: jax.Array) -> Tuple[jax.Array, CTCState]:
+        """scores: (Bb, V_dec) attention log-probs AFTER processors.
+        Returns (fused scores, state with candidate slots filled)."""
+        bb, v_dec = scores.shape
+        decoded_len, last_label = self._prefix_stats(tokens, cur_len)
+
+        # top-K text candidates (+ EOS always, decoding.py:309-313)
+        _, cand_ids = jax.lax.top_k(scores[:, : self.timestamp_begin], self.k)
+        has_eos = (cand_ids == self.eos_id).any(axis=1)
+        cand_ids = cand_ids.at[:, self.k - 1].set(
+            jnp.where(has_eos, cand_ids[:, self.k - 1], self.eos_id))
+
+        log_psi, new_states = ctc_prefix_scores(
+            state.logp, state.audio_idx, cand_ids, state.r_prev,
+            decoded_len, last_label, self.blank_id, self.eos_id)
+
+        # scatter psi back over the decoder vocab; unscored tokens at -inf
+        tmp = jnp.full((bb, v_dec), LOG_ZERO, jnp.float32)
+        tmp = jax.vmap(lambda row, idx, val: row.at[idx].set(val))(
+            tmp, cand_ids, log_psi)
+        # timestamp transparency: ts tokens get the row max (decoding.py:330)
+        row_max = tmp.max(axis=1, keepdims=True)
+        vocab_ids = jnp.arange(v_dec)
+        is_ts = (vocab_ids >= self.timestamp_begin)[None, :]
+        tmp = jnp.where(is_ts, row_max, tmp)
+
+        ctc_scores = tmp - state.score_prev[:, None]
+        fused = (1.0 - self.ctc_weight) * scores + self.ctc_weight * ctc_scores
+
+        new_state = state._replace(cand_ids=cand_ids,
+                                   cand_states=new_states,
+                                   cand_scores=log_psi)
+        return fused, new_state
+
+    def update_state(self, state: CTCState, next_tokens: jax.Array,
+                     beam_idx: Optional[jax.Array]) -> CTCState:
+        """Advance per-hypothesis prefix state after token selection
+        (decoding.py:268-275 + generation.py:765-769,1087-1088)."""
+        if beam_idx is None:
+            beam_idx = jnp.arange(next_tokens.shape[0])
+        r_prev = state.r_prev[beam_idx]
+        score_prev = state.score_prev[beam_idx]
+        cand_ids = state.cand_ids[beam_idx]
+        cand_states = state.cand_states[beam_idx]
+        cand_scores = state.cand_scores[beam_idx]
+
+        # locate the chosen token among the scored candidates
+        matches = cand_ids == next_tokens[:, None]
+        found = matches.any(axis=1)
+        pos = jnp.argmax(matches, axis=1)
+        chosen_state = jnp.take_along_axis(
+            cand_states, pos[:, None, None, None], axis=1)[:, 0]
+        chosen_score = jnp.take_along_axis(
+            cand_scores, pos[:, None], axis=1)[:, 0]
+
+        # tokens < <|0.00|> advance the state; timestamps keep the old one
+        # (reference update_state mask: best_ids < first_timestamp_token_id)
+        advance = (next_tokens < self.timestamp_begin) & found
+        new_r = jnp.where(advance[:, None, None], chosen_state, r_prev)
+        new_score = jnp.where(advance, chosen_score, score_prev)
+        return state._replace(r_prev=new_r, score_prev=new_score,
+                              cand_ids=cand_ids, cand_states=cand_states,
+                              cand_scores=cand_scores)

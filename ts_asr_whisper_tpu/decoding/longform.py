@@ -229,6 +229,7 @@ def longform_generate(
     enroll_stno: Optional[np.ndarray] = None,
     max_new_tokens: Optional[int] = None,
     return_segments: bool = False,
+    upper_to_lower: Optional[np.ndarray] = None,  # (2, n) case-fold map
 ):
     """Batched long-form transcription. Returns LongformOutput whose
     ``sequences`` carry re-blocked 0-30 s timestamps (ready for the SegLST
@@ -276,8 +277,14 @@ def longform_generate(
             from .ctc_rescorer import CTCRescorer, init_ctc_state
 
             enc_logits = encoder_ctc_logits(params["encoder"], cfg, enc)
-            ctc_scorer = CTCRescorer(cfg=cfg, gen_cfg=gen_cfg)
-            ctc_state = init_ctc_state(enc_logits)
+            blank = cfg.ctc_vocab_size - 1
+            ctc_scorer = CTCRescorer(
+                blank_id=blank, eos_id=gen_cfg.eos_token_id,
+                timestamp_begin=gen_cfg.timestamp_begin,
+                ctc_weight=gen_cfg.ctc_weight,
+                k=min(500, gen_cfg.timestamp_begin - 1))
+            ctc_state = init_ctc_state(enc_logits, blank, upper_to_lower,
+                                       k=ctc_scorer.k)
 
         out = greedy_decode(params, cfg, gen_cfg, enc,
                             jnp.asarray(forced_decoder_ids), max_new,
