@@ -1,0 +1,80 @@
+"""Beam search: equivalence to greedy at n=1, score dominance at n>1."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ts_asr_whisper_tpu.decoding.beam import beam_search
+from ts_asr_whisper_tpu.decoding.generation_config import GenerationConfig
+from ts_asr_whisper_tpu.decoding.greedy import greedy_decode
+from ts_asr_whisper_tpu.models.config import DiCoWConfig
+from ts_asr_whisper_tpu.models.dicow import dicow_encoder_forward, init_dicow
+
+V = 1700
+TS_BEGIN = V - 1501
+NO_TS = TS_BEGIN - 1
+EOS = 30
+SOT = 31
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = DiCoWConfig(
+        vocab_size=V, num_mel_bins=24, d_model=64, encoder_layers=2,
+        decoder_layers=2, encoder_attention_heads=4,
+        decoder_attention_heads=4, encoder_ffn_dim=128, decoder_ffn_dim=128,
+        max_source_positions=48, max_target_positions=64,
+        decoder_start_token_id=SOT, eos_token_id=EOS, pad_token_id=EOS,
+        bos_token_id=EOS, dtype="float32", use_fddt=True,
+        use_pre_pos_fddt=True)
+    params = init_dicow(jax.random.PRNGKey(7), cfg)
+    gen_cfg = GenerationConfig(
+        eos_token_id=EOS, pad_token_id=EOS, bos_token_id=EOS,
+        decoder_start_token_id=SOT, no_timestamps_token_id=NO_TS,
+        return_timestamps=True, max_length=64, length_penalty=1.0)
+    rng = np.random.default_rng(23)
+    feats = rng.standard_normal((2, 24, 96)).astype(np.float32)
+    raw = rng.random((2, 4, 48)).astype(np.float32)
+    stno = raw / raw.sum(axis=1, keepdims=True)
+    enc = dicow_encoder_forward(params["encoder"], cfg, jnp.asarray(feats),
+                                jnp.asarray(stno))
+    prompt = np.array([[SOT, 50], [SOT, 50]], dtype=np.int32)
+    return cfg, params, gen_cfg, enc, prompt
+
+
+def test_beam1_matches_greedy(setup):
+    cfg, params, gen_cfg, enc, prompt = setup
+    max_new = 10
+    g = greedy_decode(params, cfg, gen_cfg, enc, jnp.asarray(prompt),
+                      max_new_tokens=max_new)
+    bm = beam_search(params, cfg, gen_cfg, enc, jnp.asarray(prompt),
+                     max_new_tokens=max_new, num_beams=1)
+    for i in range(2):
+        n = int(min(g.lengths[i], bm.lengths[i]))
+        assert np.asarray(g.sequences)[i, :n].tolist() == \
+            np.asarray(bm.sequences)[i, :n].tolist()
+
+
+def test_beam_score_dominates_greedy(setup):
+    cfg, params, gen_cfg, enc, prompt = setup
+    max_new = 10
+    b1 = beam_search(params, cfg, gen_cfg, enc, jnp.asarray(prompt),
+                     max_new_tokens=max_new, num_beams=1)
+    b4 = beam_search(params, cfg, gen_cfg, enc, jnp.asarray(prompt),
+                     max_new_tokens=max_new, num_beams=4)
+    assert (np.asarray(b4.scores) >= np.asarray(b1.scores) - 1e-4).all(), (
+        b4.scores, b1.scores)
+
+
+def test_beam_output_shapes_and_eos(setup):
+    cfg, params, gen_cfg, enc, prompt = setup
+    out = beam_search(params, cfg, gen_cfg, enc, jnp.asarray(prompt),
+                      max_new_tokens=8, num_beams=3)
+    seqs = np.asarray(out.sequences)
+    assert seqs.shape == (2, 10)
+    lens = np.asarray(out.lengths)
+    for i in range(2):
+        if lens[i] < 10:  # finished beams end with EOS
+            assert seqs[i, lens[i] - 1] == EOS

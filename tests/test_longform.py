@@ -186,3 +186,39 @@ def test_longform_end_to_end_smoke(rng):
         for t in row:
             if t >= ts_begin:
                 assert t <= ts_begin + 1500
+
+
+def test_longform_beam_joint_ctc_smoke(rng):
+    """Beam + joint CTC through the seek loop."""
+    from ts_asr_whisper_tpu.decoding.generation_config import GenerationConfig
+    from ts_asr_whisper_tpu.models.config import DiCoWConfig
+    from ts_asr_whisper_tpu.models.dicow import init_dicow
+    import jax
+
+    V = 1700
+    ts_begin = V - 1501
+    cfg = DiCoWConfig(
+        vocab_size=V, num_mel_bins=24, d_model=32, encoder_layers=1,
+        decoder_layers=1, encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, max_source_positions=48,
+        max_target_positions=64, decoder_start_token_id=31, eos_token_id=30,
+        pad_token_id=30, bos_token_id=30, dtype="float32",
+        use_fddt=True, use_pre_pos_fddt=True, ctc_weight=0.3,
+        additional_self_attention_layer=True, pre_ctc_sub_sample=True)
+    params = init_dicow(jax.random.PRNGKey(1), cfg)
+    gen_cfg = GenerationConfig(
+        eos_token_id=30, pad_token_id=30, bos_token_id=30,
+        decoder_start_token_id=31, no_timestamps_token_id=ts_begin - 1,
+        return_timestamps=True, max_length=20, num_beams=2, ctc_weight=0.2,
+        length_penalty=0.1)
+
+    t_total = 96 * 2
+    feats = rng.standard_normal((2, 24, t_total)).astype(np.float32)
+    stno = rng.random((2, 4, t_total // 2)).astype(np.float32)
+    stno /= stno.sum(axis=1, keepdims=True)
+    attn = np.ones((2, t_total), dtype=np.int32)
+    prompts = np.array([[31, 50, 51], [31, 50, 51]], dtype=np.int32)
+
+    out = lf.longform_generate(params, cfg, gen_cfg, feats, stno, attn,
+                               prompts, max_new_tokens=8)
+    assert out.sequences.shape[0] == 2

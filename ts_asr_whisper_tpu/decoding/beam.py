@@ -1,0 +1,213 @@
+"""Vectorized beam search — static shapes, jitted ``lax.while_loop``.
+
+Re-implements the semantics of HF's refactored beam search as driven by the
+reference (/root/reference/src/models/dicow/generation.py:815-1154):
+2*num_beams candidate continuations per batch row, finished-beam pool
+updated from the top-num_beams candidates, length-penalty
+``score / gen_len**lp``, the early-stopping heuristic for
+``early_stopping=False``, KV-cache reordering by beam index, and the CTC
+rescorer state reorder (generation.py:1087-1088).
+
+Everything lives in one while_loop with a preallocated (B, n, L) sequence
+tensor — no dynamic shapes, no host round-trips inside the loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.config import DiCoWConfig
+from ..models.whisper import (
+    decoder_cached,
+    init_kv_cache,
+    lm_logits,
+    precompute_cross_kv,
+)
+from .generation_config import GenerationConfig
+from .logits_process import make_logits_processor
+
+NEG = -1e9
+
+
+class BeamOutput(NamedTuple):
+    sequences: jax.Array      # (B, total_len) best finished beam
+    lengths: jax.Array        # (B,)
+    scores: jax.Array         # (B,) length-penalized scores
+
+
+@partial(jax.jit, static_argnames=("cfg", "gen_cfg", "max_new_tokens",
+                                   "num_beams", "ctc_scorer"))
+def beam_search(
+    params: Dict[str, Any],
+    cfg: DiCoWConfig,
+    gen_cfg: GenerationConfig,
+    encoder_hidden: jax.Array,     # (B, T_enc, D)
+    init_tokens: jax.Array,        # (B, P)
+    max_new_tokens: int,
+    num_beams: int,
+    ctc_scorer=None,
+    ctc_state=None,
+) -> BeamOutput:
+    dec = params["decoder"]
+    b, prompt_len = init_tokens.shape
+    n = num_beams
+    bb = b * n
+    total_len = prompt_len + max_new_tokens
+    pad = gen_cfg.pad_token_id
+    eos = gen_cfg.eos_token_id
+    lp = gen_cfg.length_penalty if gen_cfg.length_penalty is not None else 1.0
+    vocab = cfg.vocab_size
+    k2 = 2 * n  # beams_to_keep
+
+    process = make_logits_processor(gen_cfg, begin_index=prompt_len)
+
+    # cross-attention K/V per audio row, expanded to hypotheses
+    cross_k, cross_v = precompute_cross_kv(dec, cfg, encoder_hidden)
+    cross_k = jnp.repeat(cross_k, n, axis=1)   # (L, Bb, H, T, hd)
+    cross_v = jnp.repeat(cross_v, n, axis=1)
+    cache = init_kv_cache(cfg, bb, total_len)
+
+    tokens = jnp.full((b, n, total_len), pad, dtype=jnp.int32)
+    tokens = tokens.at[:, :, :prompt_len].set(
+        init_tokens[:, None, :].astype(jnp.int32))
+
+    # prefill all hypotheses (identical per beam)
+    hidden, cache = decoder_cached(dec, cfg,
+                                   tokens.reshape(bb, total_len)[:, :prompt_len],
+                                   0, cache, (cross_k, cross_v))
+    logits0 = lm_logits(dec, hidden[:, -1]).astype(jnp.float32)
+
+    running_scores = jnp.full((b, n), NEG)
+    running_scores = running_scores.at[:, 0].set(0.0)
+    fin_tokens = tokens
+    fin_scores = jnp.full((b, n), NEG)
+    fin_lengths = jnp.full((b, n), prompt_len, jnp.int32)
+    is_finished = jnp.zeros((b, n), bool)
+
+    class Carry(NamedTuple):
+        tokens: jax.Array          # (B, n, L) running
+        running_scores: jax.Array  # (B, n) raw sum logprobs
+        fin_tokens: jax.Array
+        fin_scores: jax.Array      # length-penalized
+        fin_lengths: jax.Array
+        is_finished: jax.Array
+        cur_len: jax.Array
+        cache: Dict[str, jax.Array]
+        logits: jax.Array          # (Bb, V)
+        ctc_state: Any
+        done: jax.Array
+
+    def improvement_possible(c: Carry):
+        """early_stopping=False heuristic: can any running beam still beat
+        the worst finished one?"""
+        gen_len = jnp.maximum(c.cur_len + 1 - prompt_len, 1).astype(jnp.float32)
+        best_running = c.running_scores.max(axis=1) / gen_len**lp
+        worst_finished = jnp.where(c.is_finished.any(axis=1),
+                                   c.fin_scores.min(axis=1), NEG)
+        all_full = c.is_finished.all(axis=1)
+        return ~(all_full & (worst_finished >= best_running))
+
+    def cond(c: Carry):
+        return (c.cur_len < total_len) & jnp.any(improvement_possible(c)) \
+            & ~c.done
+
+    def body(c: Carry):
+        flat_tokens = c.tokens.reshape(bb, total_len)
+        log_probs = jax.nn.log_softmax(c.logits, axis=-1)
+        log_probs = process(log_probs, flat_tokens, c.cur_len)
+        ctc_state_new = c.ctc_state
+        if ctc_scorer is not None:
+            log_probs, ctc_state_new = ctc_scorer.rescore(
+                c.ctc_state, flat_tokens, c.cur_len, log_probs)
+
+        scores = log_probs.reshape(b, n, vocab) + c.running_scores[..., None]
+        flat = scores.reshape(b, n * vocab)
+        top_scores, top_idx = jax.lax.top_k(flat, k2)        # (B, 2n)
+        src_beam = top_idx // vocab                           # (B, 2n)
+        next_tok = (top_idx % vocab).astype(jnp.int32)
+
+        is_eos = next_tok == eos
+
+        # --- update finished pool from the top-n candidates ---
+        gen_len = (c.cur_len + 1 - prompt_len).astype(jnp.float32)
+        cand_fin_scores = top_scores / jnp.maximum(gen_len, 1.0)**lp
+        top_n_mask = jnp.arange(k2)[None, :] < n
+        eligible = is_eos & top_n_mask
+        cand_fin_scores = jnp.where(eligible, cand_fin_scores, NEG)
+
+        # merge (n finished + 2n candidates) -> keep best n
+        merged_scores = jnp.concatenate([c.fin_scores, cand_fin_scores], axis=1)
+        cand_seqs = jnp.take_along_axis(
+            c.tokens, src_beam[..., None], axis=1)            # (B, 2n, L)
+        cand_seqs = jax.vmap(
+            lambda seqs, toks, t: seqs.at[:, t].set(toks),
+            in_axes=(0, 0, None))(cand_seqs, next_tok, c.cur_len)
+        merged_seqs = jnp.concatenate([c.fin_tokens, cand_seqs], axis=1)
+        merged_lens = jnp.concatenate(
+            [c.fin_lengths,
+             jnp.full((b, k2), 0, jnp.int32) + c.cur_len + 1], axis=1)
+        best = jax.lax.top_k(merged_scores, n)[1]             # (B, n)
+        fin_scores = jnp.take_along_axis(merged_scores, best, axis=1)
+        fin_tokens = jnp.take_along_axis(merged_seqs, best[..., None], axis=1)
+        fin_lengths = jnp.take_along_axis(merged_lens, best, axis=1)
+        is_finished = fin_scores > NEG
+
+        # --- pick next n running beams among non-eos candidates ---
+        run_scores = jnp.where(is_eos, NEG, top_scores)
+        order = jax.lax.top_k(run_scores, n)[1]               # (B, n)
+        new_running_scores = jnp.take_along_axis(run_scores, order, axis=1)
+        chosen_beam = jnp.take_along_axis(src_beam, order, axis=1)  # (B, n)
+        chosen_tok = jnp.take_along_axis(next_tok, order, axis=1)
+
+        new_tokens = jnp.take_along_axis(
+            c.tokens, chosen_beam[..., None], axis=1)
+        new_tokens = jax.vmap(
+            lambda seqs, toks, t: seqs.at[:, t].set(toks),
+            in_axes=(0, 0, None))(new_tokens, chosen_tok, c.cur_len)
+
+        # reorder cache + ctc state by flat beam index
+        flat_beam_idx = (jnp.arange(b)[:, None] * n + chosen_beam).reshape(bb)
+        cache = {k: v[:, flat_beam_idx] for k, v in c.cache.items()}
+        if ctc_scorer is not None:
+            ctc_state_new = ctc_scorer.update_state(
+                ctc_state_new, chosen_tok.reshape(bb), flat_beam_idx)
+
+        # next decoder step
+        hidden, cache = decoder_cached(
+            dec, cfg, chosen_tok.reshape(bb, 1), c.cur_len, cache,
+            (cross_k, cross_v))
+        logits = lm_logits(dec, hidden[:, -1]).astype(jnp.float32)
+
+        return Carry(new_tokens, new_running_scores, fin_tokens, fin_scores,
+                     fin_lengths, is_finished, c.cur_len + 1, cache, logits,
+                     ctc_state_new, c.done)
+
+    init = Carry(tokens, running_scores, fin_tokens, fin_scores, fin_lengths,
+                 is_finished, jnp.asarray(prompt_len, jnp.int32), cache,
+                 logits0, ctc_state, jnp.asarray(False))
+    final = jax.lax.while_loop(cond, body, init)
+
+    # if a batch row finished nothing, fall back to its best running beam
+    gen_len = jnp.maximum(final.cur_len - prompt_len, 1).astype(jnp.float32)
+    run_penalized = final.running_scores / gen_len**lp
+    none_finished = ~final.is_finished.any(axis=1)
+    best_fin = jnp.argmax(final.fin_scores, axis=1)
+    best_run = jnp.argmax(run_penalized, axis=1)
+    pick = jnp.where(none_finished, best_run, best_fin)
+    pick_from_run = none_finished
+
+    seq_fin = jnp.take_along_axis(final.fin_tokens,
+                                  pick[:, None, None], axis=1)[:, 0]
+    seq_run = jnp.take_along_axis(final.tokens,
+                                  pick[:, None, None], axis=1)[:, 0]
+    sequences = jnp.where(pick_from_run[:, None], seq_run, seq_fin)
+    len_fin = jnp.take_along_axis(final.fin_lengths, pick[:, None], axis=1)[:, 0]
+    lengths = jnp.where(pick_from_run, final.cur_len, len_fin)
+    score_fin = jnp.take_along_axis(final.fin_scores, pick[:, None], axis=1)[:, 0]
+    score_run = jnp.take_along_axis(run_penalized, pick[:, None], axis=1)[:, 0]
+    scores = jnp.where(pick_from_run, score_run, score_fin)
+    return BeamOutput(sequences, lengths, scores)

@@ -282,13 +282,23 @@ def longform_generate(
                 blank_id=blank, eos_id=gen_cfg.eos_token_id,
                 timestamp_begin=gen_cfg.timestamp_begin,
                 ctc_weight=gen_cfg.ctc_weight,
-                k=min(500, gen_cfg.timestamp_begin - 1))
+                k=min(500, gen_cfg.timestamp_begin - 1),
+                prefix_len=forced_decoder_ids.shape[1])
             ctc_state = init_ctc_state(enc_logits, blank, upper_to_lower,
+                                       num_beams=max(gen_cfg.num_beams, 1),
                                        k=ctc_scorer.k)
 
-        out = greedy_decode(params, cfg, gen_cfg, enc,
-                            jnp.asarray(forced_decoder_ids), max_new,
-                            ctc_scorer=ctc_scorer, ctc_state=ctc_state)
+        if gen_cfg.num_beams > 1:
+            from .beam import beam_search
+
+            out = beam_search(params, cfg, gen_cfg, enc,
+                              jnp.asarray(forced_decoder_ids), max_new,
+                              num_beams=gen_cfg.num_beams,
+                              ctc_scorer=ctc_scorer, ctc_state=ctc_state)
+        else:
+            out = greedy_decode(params, cfg, gen_cfg, enc,
+                                jnp.asarray(forced_decoder_ids), max_new,
+                                ctc_scorer=ctc_scorer, ctc_state=ctc_state)
         sequences = np.asarray(out.sequences)
         lengths = np.asarray(out.lengths)
 
