@@ -1,0 +1,42 @@
+"""Pallas flash attention kernel vs the XLA reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ts_asr_whisper_tpu.ops.attention import _flash_mha_fwd, _xla_sdpa
+
+
+@pytest.mark.parametrize("t", [96, 300])  # 300 exercises key padding/masking
+def test_flash_matches_xla(rng, t):
+    b, h, d = 2, 4, 64
+    q = rng.standard_normal((b, h, t, d)).astype(np.float32) * 0.2
+    k = rng.standard_normal((b, h, t, d)).astype(np.float32) * 0.2
+    v = rng.standard_normal((b, h, t, d)).astype(np.float32)
+    ref = np.asarray(_xla_sdpa(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    out = np.asarray(_flash_mha_fwd(jnp.asarray(q), jnp.asarray(k),
+                                    jnp.asarray(v), block_q=96,
+                                    interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_flash_grad_matches_xla(rng):
+    from ts_asr_whisper_tpu.ops import attention as A
+
+    b, h, t, d = 1, 2, 64, 32
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32) * 0.2)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32) * 0.2)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+
+    def loss_ref(q, k, v):
+        return (_xla_sdpa(q, k, v) ** 2).sum()
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    # verify the registered custom_vjp backward directly (the public API
+    # would compile the TPU kernel, unavailable on the CPU test mesh)
+    g = A._bwd((q, k, v), 2 * _xla_sdpa(q, k, v))
+    for a, b_ in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, rtol=1e-4)

@@ -21,6 +21,7 @@ from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..data.stno import slice_stno_for_seek
@@ -213,6 +214,31 @@ def fix_timestamps_from_segmentation(
 
 
 # ---------------------------------------------------------------------------
+# language detection (generation.py:151-221)
+# ---------------------------------------------------------------------------
+
+
+def detect_language(
+    params: Dict[str, Any],
+    cfg: DiCoWConfig,
+    gen_cfg: GenerationConfig,
+    encoder_hidden: jax.Array,  # encoder output of the FIRST 30 s window
+) -> np.ndarray:
+    """One decoder step from <sot>; argmax restricted to language tokens.
+    The STNO conditioning is already inside encoder_hidden (the reference
+    passes the stno slice through the encoder the same way)."""
+    from ..models.whisper import decoder_forward, lm_logits
+
+    b = encoder_hidden.shape[0]
+    sot = jnp.full((b, 1), gen_cfg.decoder_start_token_id, jnp.int32)
+    hidden = decoder_forward(params["decoder"], cfg, sot, encoder_hidden)
+    logits = lm_logits(params["decoder"], hidden[:, -1])
+    lang_ids = jnp.asarray(gen_cfg.lang_ids, jnp.int32)
+    lang_logits = logits[:, lang_ids]
+    return np.asarray(lang_ids[jnp.argmax(lang_logits, axis=-1)])
+
+
+# ---------------------------------------------------------------------------
 # the seek loop
 # ---------------------------------------------------------------------------
 
@@ -230,6 +256,7 @@ def longform_generate(
     max_new_tokens: Optional[int] = None,
     return_segments: bool = False,
     upper_to_lower: Optional[np.ndarray] = None,  # (2, n) case-fold map
+    detect_lang: bool = False,  # fill forced_decoder_ids[:,1] by detection
 ):
     """Batched long-form transcription. Returns LongformOutput whose
     ``sequences`` carry re-blocked 0-30 s timestamps (ready for the SegLST
@@ -252,6 +279,21 @@ def longform_generate(
     if enroll_features is not None:
         enroll_args = dict(enroll_features=jnp.asarray(enroll_features),
                            enroll_stno=jnp.asarray(enroll_stno))
+
+    if detect_lang and gen_cfg.lang_ids:
+        # language detection on the first window (generation.py:151-221)
+        first = input_features[:, :, :num_segment_frames]
+        pad_cols = num_segment_frames - first.shape[-1]
+        if pad_cols > 0:
+            first = np.pad(first, ((0, 0), (0, 0), (0, pad_cols)))
+        first_stno = slice_stno_for_seek(stno_mask, np.zeros(b, np.int64),
+                                         max_frames, num_segment_frames // 2)
+        enc0 = dicow_encoder_forward(params["encoder"], cfg,
+                                     jnp.asarray(first),
+                                     jnp.asarray(first_stno), **enroll_args)
+        langs = detect_language(params, cfg, gen_cfg, enc0)
+        forced_decoder_ids = np.asarray(forced_decoder_ids).copy()
+        forced_decoder_ids[:, 1] = langs
 
     while (seek < max_frames).any():
         active = seek < max_frames

@@ -97,15 +97,9 @@ def multi_head_attention(
     return linear(p["out_proj"], _merge_heads(out), dtype)
 
 
-def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
-         mask: Optional[jax.Array] = None) -> jax.Array:
-    """Scaled-dot-product attention core (q pre-scaled), fp32 softmax."""
-    scores = jnp.einsum("...qd,...kd->...qk", q, k,
-                        preferred_element_type=jnp.float32)
-    if mask is not None:
-        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
-    return jnp.einsum("...qk,...kd->...qd", probs, v)
+# attention core lives in ops.attention (XLA path + optional Pallas flash
+# kernel for unmasked 4-D attention, selected via set_attention_impl)
+from ..ops.attention import sdpa  # noqa: E402
 
 
 def mlp_block(p: Params, x: jax.Array, dtype=None) -> jax.Array:

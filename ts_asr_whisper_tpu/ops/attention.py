@@ -1,0 +1,139 @@
+"""Pallas attention kernel for the encoder self-attention hot path.
+
+Replaces the reference's FlashAttention-2 CUDA dependency
+(/root/reference/models/containers.py:26, configs/base.yaml:51) with a
+TPU-native kernel. At Whisper's fixed 1500-frame encoder length the whole
+K/V for one (batch, head) fits VMEM, so the kernel is a block-Q attention:
+scores never touch HBM (XLA's unfused path writes the (B,H,1500,1500) score
+tensor to HBM twice), softmax runs in fp32 on the VPU, both matmuls hit the
+MXU.
+
+Forward-only custom_vjp: the backward recomputes attention with XLA einsums
+(training uses remat anyway); inference — the serving hot path — gets the
+fused kernel.
+
+Enable via ``set_attention_impl('pallas')`` (models/containers.py wires
+``model.attention_impl`` / ``use_flash_attention``); the decoder's masked
+attention keeps the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_IMPL = "xla"  # 'xla' | 'pallas'
+
+
+def set_attention_impl(impl: str) -> None:
+    global _IMPL
+    assert impl in ("xla", "pallas"), impl
+    _IMPL = impl
+
+
+def get_attention_impl() -> str:
+    return _IMPL
+
+
+def _xla_sdpa(q, k, v):
+    scores = jnp.einsum("...qd,...kd->...qk", q, k,
+                        preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("...qk,...kd->...qd", probs, v)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int):
+    """One (batch*head, q-block): full-K attention in VMEM."""
+    q = q_ref[0]                      # (BQ, D)
+    k = k_ref[0]                      # (T_pad, D)
+    v = v_ref[0]
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (BQ, T_pad)
+    t_pad = scores.shape[-1]
+    if t_pad != t_real:  # mask the padded keys (static at trace time)
+        key_idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(key_idx < t_real, scores,
+                           jnp.finfo(jnp.float32).min)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = (o / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def _flash_mha_fwd(q, k, v, block_q: int = 256, interpret: bool = False):
+    """(B, H, T, hd) -> (B, H, T, hd); q pre-scaled, no mask (encoder)."""
+    from jax.experimental import pallas as pl
+
+    b, h, t, d = q.shape
+    bh = b * h
+    t_pad = -(-t // block_q) * block_q
+
+    def flat_pad(x):
+        x = x.reshape(bh, t, d)
+        if t_pad != t:
+            x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+        return x
+
+    qf, kf, vf = flat_pad(q), flat_pad(k), flat_pad(v)
+    grid = (bh, t_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, t_real=t),
+        out_shape=jax.ShapeDtypeStruct((bh, t_pad, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((1, t_pad, d), lambda b_, i: (b_, 0, 0)),
+            pl.BlockSpec((1, t_pad, d), lambda b_, i: (b_, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b_, i: (b_, i, 0)),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out[:, :t].reshape(b, h, t, d)
+
+
+@jax.custom_vjp
+def flash_mha(q, k, v):
+    return _flash_mha_fwd(q, k, v)
+
+
+def _fwd(q, k, v):
+    return _flash_mha_fwd(q, k, v), (q, k, v)
+
+
+def _bwd(res, g):
+    q, k, v = res
+    # recompute-with-XLA backward (memory-light; matches remat training)
+    scores = jnp.einsum("...qd,...kd->...qk", q, k,
+                        preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    pv = p.astype(g.dtype)
+    dv = jnp.einsum("...qk,...qd->...kd", pv, g)
+    dp = jnp.einsum("...qd,...kd->...qk", g, v).astype(jnp.float32)
+    dsoft = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dsoft = dsoft.astype(q.dtype)
+    dq = jnp.einsum("...qk,...kd->...qd", dsoft, k)
+    dk = jnp.einsum("...qk,...qd->...kd", dsoft, q)
+    return dq, dk, dv
+
+
+flash_mha.defvjp(_fwd, _bwd)
+
+
+def sdpa(q, k, v, mask=None):
+    """Dispatching scaled-dot-product attention core (q pre-scaled)."""
+    if mask is None and _IMPL == "pallas" and q.ndim == 4:
+        return flash_mha(q, k, v)
+    scores = jnp.einsum("...qd,...kd->...qk", q, k,
+                        preferred_element_type=jnp.float32)
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("...qk,...kd->...qd", probs, v)

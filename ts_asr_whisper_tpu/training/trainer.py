@@ -112,6 +112,12 @@ class Trainer:
         self.num_prefix_tokens = num_prefix_tokens
 
         t = cfg.training
+        from ..utils.observability import MetricsLogger
+
+        self.metrics_logger = MetricsLogger(
+            t.output_dir, run_name=t.run_name,
+            use_wandb=bool(t.report_to) and "wandb" in str(t.report_to),
+            project=cfg.wandb.project)
         self._preheat_steps = t.use_fddt_only_n_steps if t.use_fddt else 0
         phase = "preheat" if self._preheat_steps > 0 else "base"
 
@@ -176,6 +182,7 @@ class Trainer:
                 logger.info("step %d %s (%.2f s/%d steps)", self.state.step,
                             {k: round(v, 4) for k, v in parts.items()},
                             dt, t.logging_steps)
+                self.metrics_logger.log(parts, self.state.step)
 
             if (t.eval_strategy == "steps" and self.eval_fn is not None
                     and self.state.step % t.eval_steps == 0):
@@ -191,6 +198,7 @@ class Trainer:
         t = self.cfg.training
         metrics = self.eval_fn(self.state.params, self.state.step)
         logger.info("eval @ %d: %s", self.state.step, metrics)
+        self.metrics_logger.log(metrics, self.state.step)
         key = t.metric_for_best_model
         if key and key in metrics and t.early_stopping_patience > 0:
             value = metrics[key]
