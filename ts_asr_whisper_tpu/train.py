@@ -212,10 +212,17 @@ class ModelTrainer:
                             prefetch_factor=t.dataloader_prefetch_factor)
         state = trainer.train(iter(loader))
 
-        export_hf_checkpoint(state.params, self.container.model_config,
+        final_params = state.params
+        if "lora" in final_params:
+            from .training.lora import merge_lora
+
+            base = {k: v for k, v in final_params.items() if k != "lora"}
+            final_params = merge_lora(base, final_params["lora"])
+
+        export_hf_checkpoint(final_params, self.container.model_config,
                              os.path.join(t.output_dir, "hf_export"))
         if self.eval_datasets:
-            return self.do_eval(state.params, self.eval_datasets,
+            return self.do_eval(final_params, self.eval_datasets,
                                 state.step, "test")
         return {}
 

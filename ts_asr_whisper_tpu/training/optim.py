@@ -72,6 +72,10 @@ def build_optimizer(
     paths = param_path_tree(params)
 
     def label(path: str) -> str:
+        if path.startswith("lora/"):
+            # LoRA adapters always train (the dense weights they wrap are
+            # frozen separately via frozen_keywords)
+            return "frozen" if preheat_only else "base"
         if path_matches(path, prefixes_to_preheat) and cfg.use_fddt:
             return "preheat"
         if preheat_only:

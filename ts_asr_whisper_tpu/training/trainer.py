@@ -47,6 +47,11 @@ def make_train_step(model_cfg: DiCoWConfig, tx: optax.GradientTransformation,
     labels, upp_labels [, enroll_features, enroll_stno]."""
 
     def loss_fn(params, batch):
+        if "lora" in params:
+            from .lora import merge_lora
+
+            base = {k: v for k, v in params.items() if k != "lora"}
+            params = merge_lora(base, params["lora"])
         dec_in = shift_tokens_right(batch["labels"], model_cfg.pad_token_id,
                                     model_cfg.decoder_start_token_id)
         logits, enc_hidden = dicow_forward(
@@ -112,6 +117,11 @@ class Trainer:
         self.num_prefix_tokens = num_prefix_tokens
 
         t = cfg.training
+        if t.use_lora and "lora" not in params:
+            from .lora import init_lora
+
+            lora = init_lora(jax.random.PRNGKey(t.seed + 1), params)
+            params = dict(params, lora=lora)
         from ..utils.observability import MetricsLogger
 
         self.metrics_logger = MetricsLogger(
