@@ -148,3 +148,32 @@ def test_decode_only(corpus, tmp_path):
     trainer = ModelTrainer(cfg)
     metrics = trainer.train()
     assert any(k.endswith("tcp_wer") for k in metrics)
+
+
+def test_pretrain_encoder_few_steps(corpus, tmp_path):
+    from ts_asr_whisper_tpu.pretrain_encoder import main as pretrain_main
+
+    out_dir = tmp_path / "pre"
+    cfg = load_config([
+        f"model.whisper_model={corpus['model']}",
+        f"data.train_cutsets=[{corpus['train']}]",
+        f"data.dev_cutsets=[{corpus['eval']}]",
+        "data.use_timestamps=false",
+        "data.train_text_norm=null",
+        "model.ctc_weight=0.3",
+        "model.pre_ctc_sub_sample=true",
+        "model.additional_self_attention_layer=true",
+        "model.dtype=float32",
+        "training.pretrain_encoder=true",
+        "training.max_steps=2",
+        "training.overall_batch_size=2",
+        "training.per_device_train_batch_size=2",
+        "training.per_device_eval_batch_size=2",
+        "training.logging_steps=1",
+        "training.save_strategy=no",
+        "training.dataloader_num_workers=1",
+        f"training.output_dir={out_dir}",
+    ], n_devices=1)
+    metrics = pretrain_main(cfg)
+    assert any(k.endswith("_wer") for k in metrics), metrics
+    assert (out_dir / "hf_export" / "model.safetensors").exists()

@@ -146,7 +146,7 @@ class ByteLevelTokenizer:
         out = []
         for t in np.atleast_1d(np.asarray(ids)):
             t = int(t)
-            if t < 256:
+            if 0 <= t < 256:
                 out.append(bytes([t]))
             elif t >= self.timestamp_begin and decode_with_timestamps:
                 ts = 0.02 * (t - self.timestamp_begin)

@@ -344,8 +344,25 @@ def longform_generate(
         sequences = np.asarray(out.sequences)
         lengths = np.asarray(out.lengths)
 
+        # no-speech skip (HF generate_with_fallback semantics): a window
+        # whose no-speech prob exceeds the threshold while the decode is
+        # low-confidence is treated as silence and skipped whole
+        skip_silence = np.zeros(b, dtype=bool)
+        if (gen_cfg.no_speech_threshold is not None
+                and hasattr(out, "no_speech_probs")):
+            ns = np.asarray(out.no_speech_probs)
+            skip_silence = ns > gen_cfg.no_speech_threshold
+            if gen_cfg.logprob_threshold is not None \
+                    and hasattr(out, "sum_logprobs"):
+                gen_lens = np.maximum(lengths - prompt_len, 1)
+                avg_lp = np.asarray(out.sum_logprobs) / gen_lens
+                skip_silence &= avg_lp < gen_cfg.logprob_threshold
+
         for i in range(b):
             if not active[i]:
+                continue
+            if skip_silence[i]:
+                seek[i] += int(seek_num_frames[i])
                 continue
             seq = sequences[i, prompt_len: lengths[i]]
             # strip trailing eos/pad

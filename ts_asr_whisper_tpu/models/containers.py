@@ -32,6 +32,14 @@ class WhisperContainer:
         m = cfg.model
         model_id = m.whisper_model
 
+        # attention backend: set once, before the first trace
+        from ..ops.attention import set_attention_impl
+
+        impl = m.attention_impl
+        if impl == "auto":
+            impl = "xla"  # pallas stays opt-in (see ops/attention.py)
+        set_attention_impl(impl)
+
         overrides = dict(
             ctc_weight=m.ctc_weight,
             additional_layer=m.additional_layer,

@@ -12,9 +12,11 @@ Forward-only custom_vjp: the backward recomputes attention with XLA einsums
 (training uses remat anyway); inference — the serving hot path — gets the
 fused kernel.
 
-Enable via ``set_attention_impl('pallas')`` (models/containers.py wires
-``model.attention_impl`` / ``use_flash_attention``); the decoder's masked
-attention keeps the XLA path.
+Enable via ``set_attention_impl('pallas')`` BEFORE the first trace of model
+functions: the implementation choice is read at trace time and is not part
+of jit cache keys, so flipping it later requires new function objects (set
+it once at startup — models/containers.py wires ``model.attention_impl``).
+The decoder's masked attention keeps the XLA path.
 """
 
 from __future__ import annotations

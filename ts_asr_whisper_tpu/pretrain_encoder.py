@@ -67,6 +67,9 @@ def make_pretrain_step(model_cfg, tx, num_prefix_tokens: int):
 def main(cfg: Cfg) -> Dict[str, float]:
     cfg.model.use_fddt = False
     cfg.training.use_fddt = False
+    # pretrain uses the plain optimizer (no fddt lr multiplier,
+    # reference pretrain_encoder.py uses the stock HF optimizer)
+    cfg.training.use_custom_optimizer = False
     container = WhisperContainer(cfg, seed=cfg.training.seed)
     mc = container.model_config
     tok = container.tokenizer
@@ -128,11 +131,24 @@ def main(cfg: Cfg) -> Dict[str, float]:
                                     num_mel_bins=mc.num_mel_bins,
                                     global_lang_id=cfg.data.global_lang_id)
             preds, labels = [], []
+            window = 2 * mc.max_source_positions
             for batch in eval_batches(dev_ds, collator,
                                       t.per_device_eval_batch_size):
+                feats = batch["input_features"]
+                b, n_mels, t_mel = feats.shape
+                # inputs longer than 30 s are chunked into 30 s pieces and
+                # their CTC logits concatenated (reference trainers.py:52-63)
+                k = max(1, -(-t_mel // window))
+                if t_mel < k * window:
+                    feats = np.pad(feats,
+                                   ((0, 0), (0, 0), (0, k * window - t_mel)))
+                chunked = feats.reshape(b, n_mels, k, window) \
+                    .transpose(0, 2, 1, 3).reshape(b * k, n_mels, window)
                 hidden = dicow_encoder_forward(
-                    params["encoder"], mc, batch["input_features"], None)
+                    params["encoder"], mc, chunked, None)
                 logits = encoder_ctc_logits(params["encoder"], mc, hidden)
+                t_out = logits.shape[1]
+                logits = logits.reshape(b, k * t_out, logits.shape[-1])
                 decoded = np.asarray(ctc_greedy_decode(
                     logits, mc.ctc_vocab_size - 1))
                 preds.extend(list(decoded))

@@ -39,6 +39,10 @@ class DataLoader:
         return idx
 
     def _batches(self) -> Iterator[List[int]]:
+        if self.drop_last and len(self.dataset) < self.batch_size:
+            raise ValueError(
+                f"dataset has {len(self.dataset)} samples < batch_size "
+                f"{self.batch_size} with drop_last — zero batches per epoch")
         epoch = 0
         while self.num_epochs is None or epoch < self.num_epochs:
             idx = self._epoch_indices(epoch)
@@ -59,19 +63,25 @@ class DataLoader:
             return self.collate_fn(samples)
 
         def producer():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                pending = []
-                for batch_idx in self._batches():
-                    if stop.is_set():
-                        break
-                    pending.append(pool.submit(make_batch, batch_idx))
-                    while len(pending) >= self.prefetch:
-                        q.put(pending.pop(0).result())
-                for fut in pending:
-                    if stop.is_set():
-                        break
-                    q.put(fut.result())
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    pending = []
+                    for batch_idx in self._batches():
+                        if stop.is_set():
+                            return
+                        pending.append(pool.submit(make_batch, batch_idx))
+                        while len(pending) >= self.prefetch:
+                            q.put(pending.pop(0).result())
+                    for fut in pending:
+                        if stop.is_set():
+                            return
+                        q.put(fut.result())
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
+                return
+            finally:
+                if not stop.is_set():
+                    q.put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -80,9 +90,18 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()
+            # unblock a producer waiting on a full queue so it can observe
+            # the stop flag and exit
+            try:
+                while not q.empty():
+                    q.get_nowait()
+            except Exception:
+                pass
 
 
 def eval_batches(dataset, collate_fn: Callable, batch_size: int):

@@ -76,7 +76,7 @@ def build_optimizer(
             # LoRA adapters always train (the dense weights they wrap are
             # frozen separately via frozen_keywords)
             return "frozen" if preheat_only else "base"
-        if path_matches(path, prefixes_to_preheat) and cfg.use_fddt:
+        if path_matches(path, prefixes_to_preheat):
             return "preheat"
         if preheat_only:
             return "frozen"
