@@ -1,0 +1,163 @@
+"""Ultimate integration parity: our longform_generate vs the reference's
+full generate() (HF Whisper seek loop + DiCoW overrides) on a tiny model.
+
+If the installed transformers version can't drive the reference's
+generate() (it pins 4.55 internals), the test skips with the reason.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from oracles import load_reference_dicow  # noqa: E402
+
+RefConfig, RefModel = load_reference_dicow()
+
+from ts_asr_whisper_tpu.decoding.generation_config import GenerationConfig  # noqa: E402
+from ts_asr_whisper_tpu.decoding.longform import longform_generate  # noqa: E402
+from ts_asr_whisper_tpu.models.config import DiCoWConfig  # noqa: E402
+from ts_asr_whisper_tpu.models.convert import params_from_torch_model  # noqa: E402
+
+V = 1700
+TS_BEGIN = V - 1501
+NO_TS = TS_BEGIN - 1
+EOS = 30
+SOT = 31
+LANG = 40
+TASK = 41
+
+BASE_KW = dict(
+    vocab_size=V, num_mel_bins=24, d_model=64, encoder_layers=2,
+    decoder_layers=2, encoder_attention_heads=4, decoder_attention_heads=4,
+    encoder_ffn_dim=128, decoder_ffn_dim=128, max_source_positions=48,
+    max_target_positions=80, decoder_start_token_id=SOT, eos_token_id=EOS,
+    pad_token_id=EOS, bos_token_id=EOS)
+
+
+class MockWhisperTok:
+    """Round-trip tokenizer for the reference generate() path."""
+
+    pad_token_id = EOS
+    eos_token_id = EOS
+    prefix_tokens = [SOT, LANG, TASK]
+    upper_cased_tokens = {}
+
+    def get_vocab(self):
+        v = {"<|0.00|>": TS_BEGIN, "Ġ": 220, "#": 35}
+        return v
+
+    def decode(self, tokens, **kw):
+        import numpy as _np
+
+        out = []
+        for t in _np.atleast_1d(_np.asarray(tokens)):
+            t = int(t)
+            if t < TS_BEGIN and t not in (EOS, SOT, LANG, TASK):
+                out.append(f"#{t};")
+            elif t >= TS_BEGIN and kw.get("decode_with_timestamps"):
+                out.append(f"<|{0.02 * (t - TS_BEGIN):.2f}|>")
+        return "".join(out)
+
+    def __call__(self, text):
+        import re
+
+        ids = []
+        for m in re.finditer(r"<\|(\d+\.\d+)\|>|#(\d+);", text):
+            if m.group(1) is not None:
+                ids.append(TS_BEGIN + round(float(m.group(1)) / 0.02))
+            else:
+                ids.append(int(m.group(2)))
+        return {"input_ids": ids}
+
+    def batch_decode(self, batch, **kw):
+        return [self.decode(r, **kw) for r in batch]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    torch.manual_seed(11)
+    ref_cfg = RefConfig(**BASE_KW, ctc_weight=0.0, use_fddt=True,
+                        use_pre_pos_fddt=True, fddt_init="random")
+    ref = RefModel(ref_cfg).eval()
+    ref.set_tokenizer = lambda *a: None
+    ref.tokenizer = MockWhisperTok()
+    cfg = DiCoWConfig(**BASE_KW, ctc_weight=0.0, use_fddt=True,
+                      use_pre_pos_fddt=True, dtype="float32")
+    params = params_from_torch_model(ref, cfg)
+    return ref, cfg, params
+
+
+def _ref_generate(ref, feats, stno, attn):
+    from transformers import GenerationConfig as HFGenConfig
+
+    gc = HFGenConfig(
+        max_length=80,
+        decoder_start_token_id=SOT,
+        eos_token_id=EOS,
+        pad_token_id=EOS,
+        bos_token_id=EOS,
+        no_timestamps_token_id=NO_TS,
+        return_timestamps=True,
+        is_multilingual=True,
+        lang_to_id={"<|en|>": LANG},
+        task_to_id={"transcribe": TASK},
+        begin_suppress_tokens=None,
+        forced_decoder_ids=None,
+        suppress_tokens=None,
+        max_initial_timestamp_index=None,
+        no_speech_threshold=None,
+        temperature=0.0,
+    )
+    forced = torch.tensor([[SOT, LANG, TASK]] * feats.shape[0])
+    # the reference's generate() drives super().generate() off
+    # self.generation_config (update_generation_config mutates it in the
+    # real pipeline, general.py:19-37)
+    ref.generation_config = gc
+    with torch.no_grad():
+        out = ref.generate(
+            input_features=torch.tensor(feats),
+            attention_mask=torch.tensor(attn),
+            stno_mask=torch.tensor(stno),
+            forced_decoder_ids=forced,
+            language="en",
+            task="transcribe",
+        )
+    return np.asarray(out)
+
+
+def test_longform_full_parity(setup, rng):
+    ref, cfg, params = setup
+    n_win = 3
+    t_total = 96 * n_win
+    feats = (rng.standard_normal((2, 24, t_total)) * 0.5).astype(np.float32)
+    raw = rng.random((2, 4, t_total // 2)).astype(np.float32)
+    stno = raw / raw.sum(axis=1, keepdims=True)
+    attn = np.ones((2, t_total), dtype=np.int64)
+
+    try:
+        ref_out = _ref_generate(ref, feats, stno, attn)
+    except Exception as e:  # HF internals drifted from the pinned 4.55
+        pytest.skip(f"reference generate() not drivable on installed "
+                    f"transformers: {type(e).__name__}: {e}")
+
+    gen_cfg = GenerationConfig(
+        eos_token_id=EOS, pad_token_id=EOS, bos_token_id=EOS,
+        decoder_start_token_id=SOT, no_timestamps_token_id=NO_TS,
+        return_timestamps=True, max_length=80, suppress_tokens=(),
+        begin_suppress_tokens=())
+    prompts = np.array([[SOT, LANG, TASK]] * 2, dtype=np.int32)
+    ours = longform_generate(params, cfg, gen_cfg, feats, stno, attn, prompts)
+
+    # reference output begins with prefix tokens from its tokenizer re-encode
+    # (our token-level fixup emits content only); compare content tokens
+    def strip(row):
+        return [int(t) for t in row if int(t) not in (EOS, SOT, LANG, TASK)]
+
+    for b in range(2):
+        ref_row = strip(ref_out[b])
+        our_row = strip(ours.sequences[b])
+        assert our_row == ref_row, (
+            f"row {b}:\nours {our_row}\nref  {ref_row}")
