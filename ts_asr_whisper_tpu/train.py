@@ -177,6 +177,16 @@ class ModelTrainer:
             metrics.update({f"eval_{name}_{k}": v for k, v in res.items()})
             logger.info("eval %s@%d: %s", name, step,
                         {k: round(v, 4) for k, v in res.items()})
+        # combined cross-split stats (reference trainers.py:209-227)
+        if self.cfg.training.compute_combined_metrics or len(datasets) > 1:
+            for m in self.cfg.training.eval_metrics_list:
+                prefix = m.split("_", 1)[0]
+                errors = sum(v for k, v in metrics.items()
+                             if k.endswith(f"_{prefix}_errors"))
+                length = sum(v for k, v in metrics.items()
+                             if k.endswith(f"_{prefix}_length"))
+                if length:
+                    metrics[f"eval_combined_{prefix}_wer"] = errors / length
         return metrics
 
     # -- training ---------------------------------------------------------------
@@ -191,6 +201,20 @@ class ModelTrainer:
 
         num_prefix = len(self.container.tokenizer.prefix_tokens) - 1
 
+        # resume / restart (reference train.py:259, training_args.py:19-21):
+        # params restored from an Orbax checkpoint; optimizer state restarts
+        # fresh at the restored step
+        start_step = 0
+        resume_path = t.resume_from_checkpoint or t.restart_from or None
+        if resume_path:
+            from .training.checkpoints import restore_checkpoint
+
+            state, start_step = restore_checkpoint(
+                str(resume_path), {"params": self.container.params})
+            self.container.params = state["params"]
+            logger.info("Resumed params from %s at step %d", resume_path,
+                        start_step)
+
         def eval_fn(params, step):
             return self.do_eval(params, self.dev_datasets, step, "dev")
 
@@ -202,7 +226,8 @@ class ModelTrainer:
                           self.container.params,
                           num_prefix_tokens=num_prefix,
                           eval_fn=eval_fn if self.dev_datasets else None,
-                          checkpoint_fn=checkpoint_fn)
+                          checkpoint_fn=checkpoint_fn,
+                          start_step=start_step)
 
         loader = DataLoader(self.train_dataset, self.collator,
                             batch_size=t.per_device_train_batch_size

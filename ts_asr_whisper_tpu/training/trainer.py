@@ -107,6 +107,7 @@ class Trainer:
         eval_fn: Optional[Callable[[Any, int], Dict[str, float]]] = None,
         checkpoint_fn: Optional[Callable[[Any, int], None]] = None,
         mesh=None,
+        start_step: int = 0,
     ):
         self.cfg = cfg
         self.model_cfg = model_cfg
@@ -131,11 +132,13 @@ class Trainer:
         self._preheat_steps = t.use_fddt_only_n_steps if t.use_fddt else 0
         phase = "preheat" if self._preheat_steps > 0 else "base"
 
+        if start_step >= self._preheat_steps:
+            phase = "base"
         shardings = param_shardings(params, self.mesh, t.shard_params)
         params = jax.tree.map(jax.device_put, params, shardings)
         tx, opt_state = self._build_tx(params, preheat_only=(phase == "preheat"))
         self.tx = tx
-        self.state = TrainState(params, opt_state, 0, phase)
+        self.state = TrainState(params, opt_state, start_step, phase)
         self._steps = self._make_steps(tx)
 
         self._best_metric = None
