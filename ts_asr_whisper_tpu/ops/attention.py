@@ -28,11 +28,20 @@ import jax.numpy as jnp
 import numpy as np
 
 _IMPL = "xla"  # 'xla' | 'pallas'
+_SCORE_DTYPE = jnp.float32  # accumulation/materialization dtype for scores
 
 
 def set_attention_impl(impl: str) -> None:
     global _IMPL
-    assert impl in ("xla", "pallas"), impl
+    assert impl in ("xla", "pallas", "xla_bf16"), impl
+    global _SCORE_DTYPE
+    if impl == "xla_bf16":
+        # halve the HBM traffic of the (B,H,T,T) score tensor — the encoder
+        # hot spot at T=1500 — at the cost of bf16 attention logits
+        _SCORE_DTYPE = jnp.bfloat16
+        impl = "xla"
+    else:
+        _SCORE_DTYPE = jnp.float32
     _IMPL = impl
 
 
@@ -134,8 +143,9 @@ def sdpa(q, k, v, mask=None):
     if mask is None and _IMPL == "pallas" and q.ndim == 4:
         return flash_mha(q, k, v)
     scores = jnp.einsum("...qd,...kd->...qk", q, k,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=_SCORE_DTYPE)
     if mask is not None:
-        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min
+                           if scores.dtype == jnp.float32 else -1e30)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
     return jnp.einsum("...qk,...kd->...qd", probs, v)

@@ -104,8 +104,10 @@ def _dft_kernel() -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=8)
-def _mel_filters_jax(num_mel_filters: int):
-    return jnp.asarray(mel_filter_bank(num_mel_filters=num_mel_filters))
+def _mel_filters_np(num_mel_filters: int) -> np.ndarray:
+    # cache numpy, NOT jnp: a jnp array created during a jit trace would
+    # cache a tracer and leak into later traces
+    return mel_filter_bank(num_mel_filters=num_mel_filters)
 
 
 def _frame(x: jax.Array, num_frames: int) -> jax.Array:
@@ -152,7 +154,7 @@ def log_mel_spectrogram(waveform: jax.Array, num_mel_filters: int = 80) -> jax.A
     if waveform.ndim == 1:
         waveform = waveform[None]
     power = power_spectrogram(waveform)                     # (B, T, n_freq)
-    mel = power @ _mel_filters_jax(num_mel_filters)         # (B, T, n_mels)
+    mel = power @ jnp.asarray(_mel_filters_np(num_mel_filters))
     log_spec = jnp.log10(jnp.clip(mel, min=1e-10))
     max_val = jnp.max(log_spec, axis=(1, 2), keepdims=True)
     log_spec = jnp.maximum(log_spec, max_val - 8.0)
