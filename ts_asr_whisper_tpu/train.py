@@ -146,7 +146,8 @@ class ModelTrainer:
         mc = self.container.model_config
         preds, keys = [], []
         bs = self.cfg.training.per_device_eval_batch_size
-        for batch in eval_batches(dataset, self.collator, bs):
+        for batch in eval_batches(dataset, self.collator, bs,
+                                  pad_to_full=True):
             forced = batch.get("forced_decoder_ids")
             if forced is None:
                 prefix = np.asarray(tok.prefix_tokens[:3], dtype=np.int64)

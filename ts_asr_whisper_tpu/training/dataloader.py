@@ -104,10 +104,19 @@ class DataLoader:
                 pass
 
 
-def eval_batches(dataset, collate_fn: Callable, batch_size: int):
-    """Sequential, non-shuffled batches covering the whole dataset (the last
-    batch may be smaller)."""
+def eval_batches(dataset, collate_fn: Callable, batch_size: int,
+                 pad_to_full: bool = False):
+    """Sequential, non-shuffled batches covering the whole dataset.
+
+    ``pad_to_full`` repeats the last sample so every batch has the same
+    static shape (no recompilation for the tail batch); duplicates are
+    deduplicated downstream by their (cut_id, spk_id) keys — the same
+    mechanism the reference uses for DDP sampler repeats
+    (evaluation.py:262-264)."""
     n = len(dataset)
     for i in range(0, n, batch_size):
-        samples = [dataset[j] for j in range(i, min(i + batch_size, n))]
+        idx = list(range(i, min(i + batch_size, n)))
+        if pad_to_full and len(idx) < batch_size and n > 0:
+            idx = idx + [idx[-1]] * (batch_size - len(idx))
+        samples = [dataset[j] for j in idx]
         yield collate_fn(samples)
