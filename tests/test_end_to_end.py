@@ -177,3 +177,84 @@ def test_pretrain_encoder_few_steps(corpus, tmp_path):
     metrics = pretrain_main(cfg)
     assert any(k.endswith("_wer") for k in metrics), metrics
     assert (out_dir / "hf_export" / "model.safetensors").exists()
+
+
+@pytest.fixture(scope="module")
+def enroll_corpus(tmp_path_factory):
+    """Corpus with external-enrollment cutsets for SE-DiCoW."""
+    tmp = tmp_path_factory.mktemp("enroll_corpus")
+    rng = np.random.default_rng(1)
+
+    train_cuts = []
+    for i in range(2):
+        rec = _make_recording(tmp, f"tr{i}", 8.0, rng)
+        sups = [_sup(rec["id"], 0.5, 3.0, "hello world again", "spkA"),
+                _sup(rec["id"], 4.0, 3.0, "yes indeed quite so", "spkB")]
+        train_cuts.append(_cut(rec, f"tr{i}_cut", sups))
+    train_manifest = tmp / "tr_cutset_30s.jsonl.gz"
+    _write_manifest(train_manifest, train_cuts)
+
+    # enrollment cuts: per-speaker clean recordings with DIFFERENT rec ids
+    enroll_cuts = []
+    for spk in ("spkA", "spkB"):
+        for j in range(2):
+            rec = _make_recording(tmp, f"enr_{spk}_{j}", 5.0, rng)
+            enroll_cuts.append(_cut(
+                rec, f"enr_{spk}_{j}_cut",
+                [_sup(rec["id"], 0.2, 4.5, "enrollment speech", spk)]))
+    enroll_manifest = tmp / "enroll_cutset.jsonl.gz"
+    _write_manifest(enroll_manifest, enroll_cuts)
+
+    model_dir = tmp / "model"
+    model_dir.mkdir()
+    with open(model_dir / "config.json", "w") as f:
+        json.dump({
+            "vocab_size": 2000, "num_mel_bins": 80, "d_model": 32,
+            "encoder_layers": 2, "decoder_layers": 2,
+            "encoder_attention_heads": 2, "decoder_attention_heads": 2,
+            "encoder_ffn_dim": 64, "decoder_ffn_dim": 64,
+            "max_source_positions": 1500, "max_target_positions": 64,
+        }, f)
+    return {"tmp": tmp, "train": train_manifest, "enroll": enroll_manifest,
+            "model": model_dir}
+
+
+def test_se_dicow_train_and_decode(enroll_corpus, tmp_path):
+    from ts_asr_whisper_tpu.train import ModelTrainer
+
+    out_dir = tmp_path / "se"
+    # '_external_enrollment' in the path marks mixture synthesis
+    ext_path = str(enroll_corpus["train"]).replace(
+        "_30s.jsonl.gz", "_30s_external_enrollment.jsonl.gz")
+    cfg = load_config([
+        f"model.whisper_model={enroll_corpus['model']}",
+        f"data.train_cutsets=[{ext_path}]",
+        f"data.dev_cutsets=[]",
+        f"data.eval_cutsets=[{ext_path}]",
+        f"data.enrollment_cutsets=[{enroll_corpus['enroll']}]",
+        "data.use_enrollments=true",
+        "data.number_of_mixed_speakers=1",
+        "data.use_timestamps=true",
+        "data.train_text_norm=null",
+        "data.eval_text_norm=null",
+        "model.use_enrollments=true",
+        "model.scb_layers=1",
+        "model.ctc_weight=0.0",
+        "model.dtype=float32",
+        "training.overall_batch_size=2",
+        "training.max_steps=2",
+        "training.per_device_eval_batch_size=2",
+        "training.generation_max_length=40",
+        "training.logging_steps=1",
+        "training.eval_strategy=no",
+        "training.save_strategy=no",
+        "training.use_fddt_only_n_steps=0",
+        "training.dataloader_num_workers=1",
+        "aug.spec_aug_prob=0.0",
+        "aug.stno_segment_augment_prob=0.0",
+        f"training.output_dir={out_dir}",
+    ], n_devices=1)
+    cfg.training.mesh_shape = [1]
+    trainer = ModelTrainer(cfg)
+    metrics = trainer.train()
+    assert any(k.endswith("tcp_wer") for k in metrics), metrics
