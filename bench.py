@@ -27,7 +27,7 @@ def main():
     from ts_asr_whisper_tpu.models.dicow import dicow_encoder_forward, init_dicow
     from ts_asr_whisper_tpu.ops.mel import log_mel_spectrogram
 
-    batch = 8
+    batch = 16
     decode_tokens = 128   # realistic tokens per 30 s window
     iters = 8
 
@@ -42,6 +42,11 @@ def main():
     gen_cfg = GenerationConfig(return_timestamps=True, max_length=448)
 
     params = init_dicow(jax.random.PRNGKey(0), cfg)
+    # serving: bf16 weights halve the weight-streaming traffic that
+    # dominates small-batch decode steps
+    from ts_asr_whisper_tpu.models.convert import cast_params
+
+    params = cast_params(params, jnp.bfloat16)
     rng = np.random.default_rng(0)
     audio = rng.standard_normal((batch, 480_000)).astype(np.float32) * 0.05
     audio_j = jnp.asarray(audio)

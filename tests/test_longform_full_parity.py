@@ -76,25 +76,36 @@ class MockWhisperTok:
         return [self.decode(r, **kw) for r in batch]
 
 
-@pytest.fixture(scope="module")
-def setup():
-    torch.manual_seed(11)
-    ref_cfg = RefConfig(**BASE_KW, ctc_weight=0.0, use_fddt=True,
-                        use_pre_pos_fddt=True, fddt_init="random")
+def _make_pair(ctc_weight=0.0, seed=11):
+    torch.manual_seed(seed)
+    extra = {}
+    if ctc_weight > 0:
+        extra = dict(additional_self_attention_layer=True,
+                     pre_ctc_sub_sample=True)
+    ref_cfg = RefConfig(**BASE_KW, ctc_weight=ctc_weight, use_fddt=True,
+                        use_pre_pos_fddt=True, fddt_init="random", **extra)
     ref = RefModel(ref_cfg).eval()
     ref.set_tokenizer = lambda *a: None
     ref.tokenizer = MockWhisperTok()
-    cfg = DiCoWConfig(**BASE_KW, ctc_weight=0.0, use_fddt=True,
-                      use_pre_pos_fddt=True, dtype="float32")
+    cfg = DiCoWConfig(**BASE_KW, ctc_weight=ctc_weight, use_fddt=True,
+                      use_pre_pos_fddt=True, dtype="float32", **extra)
     params = params_from_torch_model(ref, cfg)
     return ref, cfg, params
 
 
-def _ref_generate(ref, feats, stno, attn):
+@pytest.fixture(scope="module")
+def setup():
+    return _make_pair()
+
+
+def _ref_generate(ref, feats, stno, attn, num_beams=1, ctc_weight=0.0,
+                  length_penalty=1.0):
     from transformers import GenerationConfig as HFGenConfig
 
     gc = HFGenConfig(
         max_length=80,
+        num_beams=num_beams,
+        length_penalty=length_penalty,
         decoder_start_token_id=SOT,
         eos_token_id=EOS,
         pad_token_id=EOS,
@@ -111,6 +122,7 @@ def _ref_generate(ref, feats, stno, attn):
         no_speech_threshold=None,
         temperature=0.0,
     )
+    gc.ctc_weight = ctc_weight
     forced = torch.tensor([[SOT, LANG, TASK]] * feats.shape[0])
     # the reference's generate() drives super().generate() off
     # self.generation_config (update_generation_config mutates it in the
@@ -161,3 +173,62 @@ def test_longform_full_parity(setup, rng):
         our_row = strip(ours.sequences[b])
         assert our_row == ref_row, (
             f"row {b}:\nours {our_row}\nref  {ref_row}")
+
+
+def _strip(row):
+    return [int(t) for t in row if int(t) not in (EOS, SOT, LANG, TASK)]
+
+
+def test_longform_full_parity_joint_ctc(rng):
+    """Greedy + joint CTC rescoring through the reference's full generate()."""
+    ref, cfg, params = _make_pair(ctc_weight=0.3, seed=13)
+    t_total = 96 * 2
+    feats = (rng.standard_normal((2, 24, t_total)) * 0.5).astype(np.float32)
+    raw = rng.random((2, 4, t_total // 2)).astype(np.float32)
+    stno = raw / raw.sum(axis=1, keepdims=True)
+    attn = np.ones((2, t_total), dtype=np.int64)
+
+    try:
+        ref_out = _ref_generate(ref, feats, stno, attn, ctc_weight=0.3)
+    except Exception as e:
+        pytest.skip(f"reference generate() not drivable: "
+                    f"{type(e).__name__}: {e}")
+
+    gen_cfg = GenerationConfig(
+        eos_token_id=EOS, pad_token_id=EOS, bos_token_id=EOS,
+        decoder_start_token_id=SOT, no_timestamps_token_id=NO_TS,
+        return_timestamps=True, max_length=80, suppress_tokens=(),
+        begin_suppress_tokens=(), ctc_weight=0.3)
+    prompts = np.array([[SOT, LANG, TASK]] * 2, dtype=np.int32)
+    ours = longform_generate(params, cfg, gen_cfg, feats, stno, attn, prompts)
+    for b in range(2):
+        assert _strip(ours.sequences[b]) == _strip(ref_out[b]), f"row {b}"
+
+
+def test_longform_full_parity_beam(rng):
+    """Beam search (n=2) through the reference's full generate()."""
+    ref, cfg, params = _make_pair(seed=17)
+    t_total = 96 * 2
+    feats = (rng.standard_normal((2, 24, t_total)) * 0.5).astype(np.float32)
+    raw = rng.random((2, 4, t_total // 2)).astype(np.float32)
+    stno = raw / raw.sum(axis=1, keepdims=True)
+    attn = np.ones((2, t_total), dtype=np.int64)
+
+    try:
+        ref_out = _ref_generate(ref, feats, stno, attn, num_beams=2,
+                                length_penalty=1.0)
+    except Exception as e:
+        pytest.skip(f"reference generate() not drivable: "
+                    f"{type(e).__name__}: {e}")
+
+    gen_cfg = GenerationConfig(
+        eos_token_id=EOS, pad_token_id=EOS, bos_token_id=EOS,
+        decoder_start_token_id=SOT, no_timestamps_token_id=NO_TS,
+        return_timestamps=True, max_length=80, suppress_tokens=(),
+        begin_suppress_tokens=(), num_beams=2, length_penalty=1.0)
+    prompts = np.array([[SOT, LANG, TASK]] * 2, dtype=np.int32)
+    ours = longform_generate(params, cfg, gen_cfg, feats, stno, attn, prompts)
+    for b in range(2):
+        assert _strip(ours.sequences[b]) == _strip(ref_out[b]), (
+            f"row {b}\nours {_strip(ours.sequences[b])}"
+            f"\nref  {_strip(ref_out[b])}")

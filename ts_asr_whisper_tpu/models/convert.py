@@ -289,6 +289,20 @@ def save_safetensors(state_dict: Dict[str, np.ndarray], path: str) -> None:
     save_file({k: np.ascontiguousarray(v) for k, v in state_dict.items()}, path)
 
 
+def cast_params(params: Params, dtype) -> Params:
+    """Cast floating-point leaves (e.g. fp32 -> bf16 for serving: halves the
+    weight-streaming HBM traffic that dominates small-batch decode steps)."""
+    import jax
+    import jax.numpy as jnp
+
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree.map(cast, params)
+
+
 def params_from_torch_model(model, cfg: DiCoWConfig) -> Params:
     """Convert a live torch nn.Module (e.g. transformers Whisper/DiCoW)."""
     sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}

@@ -170,6 +170,15 @@ class ModelTrainer:
 
     def do_eval(self, params, datasets: Dict[str, object], step: int,
                 split: str) -> Dict[str, float]:
+        # bf16 eval (reference trainers.py autocast equivalent): bf16 weights
+        # halve decode weight streaming
+        if (self.cfg.training.bf16_full_eval
+                and self.container.model_config.dtype == "bfloat16"):
+            import jax.numpy as jnp
+
+            from .models.convert import cast_params
+
+            params = cast_params(params, jnp.bfloat16)
         metrics: Dict[str, float] = {}
         out_root = Path(self.cfg.training.output_dir)
         for name, ds in datasets.items():
