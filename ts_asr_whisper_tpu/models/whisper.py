@@ -164,16 +164,21 @@ def scan_layers(layer_fn, stacked: Params, x: jax.Array, remat: bool = False):
 
 
 def conv1d(p: Params, x: jax.Array, stride: int = 1, dtype=None) -> jax.Array:
-    """x: (B, T, C_in); kernel: (k, C_in, C_out); SAME-1 padding (pad=1, k=3)."""
+    """x: (B, T, C_in); kernel: (k, C_in, C_out); SAME-1 padding (pad=1, k=3).
+
+    No preferred_element_type: the TPU MXU accumulates conv in fp32
+    internally anyway, and a widened output dtype breaks the conv transpose
+    rule under grad when operands are bf16."""
     kernel = p["kernel"]
     if dtype is not None:
         kernel = kernel.astype(dtype)
         x = x.astype(dtype)
+    else:
+        x = x.astype(kernel.dtype)
     y = jax.lax.conv_general_dilated(
         x, kernel, window_strides=(stride,), padding=((1, 1),),
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if "bias" in p:
         y = y + p["bias"].astype(y.dtype)
     return y
