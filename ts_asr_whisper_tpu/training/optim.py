@@ -108,6 +108,8 @@ def trainable_mask(params, prefixes_to_preheat, frozen_keywords,
     paths = param_path_tree(params)
 
     def is_trainable(path: str) -> bool:
+        if path.startswith("lora/"):
+            return not preheat_only
         if preheat_only:
             return path_matches(path, prefixes_to_preheat)
         return not path_contains(path, frozen_keywords)

@@ -42,11 +42,21 @@ def shift_tokens_right(labels: jax.Array, pad_token_id: int,
 
 
 def make_train_step(model_cfg: DiCoWConfig, tx: optax.GradientTransformation,
-                    num_prefix_tokens: int, remat: bool = False):
+                    num_prefix_tokens: int, remat: bool = False,
+                    trainable_mask=None):
     """Build the jitted train step. Batch keys: input_features, stno_mask,
-    labels, upp_labels [, enroll_features, enroll_stno]."""
+    labels, upp_labels [, enroll_features, enroll_stno].
+
+    ``trainable_mask`` (bool pytree) stops gradients through frozen params
+    INSIDE the loss: XLA then skips their backward compute and never
+    materializes their gradient buffers (the optimizer's set_to_zero alone
+    still pays both)."""
 
     def loss_fn(params, batch):
+        if trainable_mask is not None:
+            params = jax.tree.map(
+                lambda p, t: p if t else jax.lax.stop_gradient(p),
+                params, trainable_mask)
         if "lora" in params:
             from .lora import merge_lora
 
@@ -158,8 +168,16 @@ class Trainer:
         return tx, opt_state
 
     def _make_steps(self, tx):
+        from .optim import trainable_mask
+
+        mask = trainable_mask(
+            self.state.params,
+            self.cfg.model.prefixes_to_preheat,
+            self.cfg.model.params_to_keep_frozen_keywords,
+            preheat_only=(self.state.phase == "preheat"))
         return make_train_step(self.model_cfg, tx, self.num_prefix_tokens,
-                               remat=self.cfg.training.gradient_checkpointing)
+                               remat=self.cfg.training.gradient_checkpointing,
+                               trainable_mask=mask)
 
     # -- phases --------------------------------------------------------------
     def _maybe_unfreeze(self):
