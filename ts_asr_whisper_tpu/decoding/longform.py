@@ -272,8 +272,6 @@ def longform_generate(
     ts_begin = gen_cfg.timestamp_begin
 
     input_features = np.asarray(input_features)
-    window = np.zeros((b, input_features.shape[1], num_segment_frames),
-                      dtype=np.float32)
 
     enroll_args = {}
     if enroll_features is not None:
@@ -295,23 +293,48 @@ def longform_generate(
         forced_decoder_ids = np.asarray(forced_decoder_ids).copy()
         forced_decoder_ids[:, 1] = langs
 
+    def _next_pow2(n: int) -> int:
+        p = 1
+        while p < n:
+            p *= 2
+        return min(p, b)
+
     while (seek < max_frames).any():
-        active = seek < max_frames
-        # slice mel windows (host); exhausted rows get silence windows and
-        # terminate in one decode step via the EOS-early-exit rule
-        window[:] = 0.0
-        seek_num_frames = np.minimum(max_frames - seek, num_segment_frames)
-        seek_num_frames = np.maximum(seek_num_frames, 0)
-        for i in range(b):
-            n = int(seek_num_frames[i])
+        # compact active rows: recordings finish at different times, so late
+        # iterations decode a small power-of-2 bucket instead of the full
+        # batch (bucket shapes bound recompilation; the jit cache persists
+        # across calls). Device arrays are indexed by `rows`.
+        active_idx = np.where(seek < max_frames)[0]
+        bucket = _next_pow2(len(active_idx))
+        rows = np.concatenate(
+            [active_idx,
+             np.full(bucket - len(active_idx), active_idx[0], np.int64)])
+        active = np.zeros(b, dtype=bool)
+        active[active_idx] = True
+
+        seek_num_frames_all = np.minimum(max_frames - seek, num_segment_frames)
+        seek_num_frames_all = np.maximum(seek_num_frames_all, 0)
+        window = np.zeros((bucket, input_features.shape[1],
+                           num_segment_frames), dtype=np.float32)
+        for j, i in enumerate(rows):
+            n = int(seek_num_frames_all[i])
             if n > 0:
-                window[i, :, :n] = input_features[i, :, seek[i]: seek[i] + n]
-        stno_window = slice_stno_for_seek(stno_mask, seek, max_frames,
-                                          num_segment_frames // 2)
+                window[j, :, :n] = input_features[i, :, seek[i]: seek[i] + n]
+        stno_window = slice_stno_for_seek(
+            stno_mask[rows], seek[rows], max_frames[rows],
+            num_segment_frames // 2)
+        seek_num_frames = seek_num_frames_all
+        forced_rows = np.asarray(forced_decoder_ids)[rows]
+
+        bucket_enroll = {}
+        if enroll_args:
+            bucket_enroll = dict(
+                enroll_features=enroll_args["enroll_features"][rows],
+                enroll_stno=enroll_args["enroll_stno"][rows])
 
         enc = dicow_encoder_forward(
             params["encoder"], cfg, jnp.asarray(window),
-            jnp.asarray(stno_window), **enroll_args)
+            jnp.asarray(stno_window), **bucket_enroll)
 
         ctc_scorer = None
         ctc_state = None
@@ -334,28 +357,47 @@ def longform_generate(
             from .beam import beam_search
 
             out = beam_search(params, cfg, gen_cfg, enc,
-                              jnp.asarray(forced_decoder_ids), max_new,
+                              jnp.asarray(forced_rows), max_new,
                               num_beams=gen_cfg.num_beams,
                               ctc_scorer=ctc_scorer, ctc_state=ctc_state)
         else:
             out = greedy_decode(params, cfg, gen_cfg, enc,
-                                jnp.asarray(forced_decoder_ids), max_new,
+                                jnp.asarray(forced_rows), max_new,
                                 ctc_scorer=ctc_scorer, ctc_state=ctc_state)
-        sequences = np.asarray(out.sequences)
-        lengths = np.asarray(out.lengths)
+        # scatter bucket results back to full-batch views (first occurrence
+        # of each row wins; padded duplicates are ignored)
+        sequences = np.zeros((b, out.sequences.shape[1]), dtype=np.int64)
+        lengths = np.zeros(b, dtype=np.int64)
+        bucket_seq = np.asarray(out.sequences)
+        bucket_len = np.asarray(out.lengths)
+        seen_rows = set()
+        bucket_extra = {}
+        for name in ("no_speech_probs", "sum_logprobs"):
+            if hasattr(out, name):
+                bucket_extra[name] = np.asarray(getattr(out, name))
+        full_extra = {name: np.zeros(b, dtype=np.float64)
+                      for name in bucket_extra}
+        for j, i in enumerate(rows):
+            if i in seen_rows:
+                continue
+            seen_rows.add(i)
+            sequences[i] = bucket_seq[j]
+            lengths[i] = bucket_len[j]
+            for name, arr in bucket_extra.items():
+                full_extra[name][i] = arr[j]
 
         # no-speech skip (HF generate_with_fallback semantics): a window
         # whose no-speech prob exceeds the threshold while the decode is
         # low-confidence is treated as silence and skipped whole
         skip_silence = np.zeros(b, dtype=bool)
         if (gen_cfg.no_speech_threshold is not None
-                and hasattr(out, "no_speech_probs")):
-            ns = np.asarray(out.no_speech_probs)
+                and "no_speech_probs" in full_extra):
+            ns = full_extra["no_speech_probs"]
             skip_silence = ns > gen_cfg.no_speech_threshold
             if gen_cfg.logprob_threshold is not None \
-                    and hasattr(out, "sum_logprobs"):
+                    and "sum_logprobs" in full_extra:
                 gen_lens = np.maximum(lengths - prompt_len, 1)
-                avg_lp = np.asarray(out.sum_logprobs) / gen_lens
+                avg_lp = full_extra["sum_logprobs"] / gen_lens
                 skip_silence &= avg_lp < gen_cfg.logprob_threshold
 
         for i in range(b):
