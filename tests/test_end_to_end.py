@@ -258,3 +258,18 @@ def test_se_dicow_train_and_decode(enroll_corpus, tmp_path):
     trainer = ModelTrainer(cfg)
     metrics = trainer.train()
     assert any(k.endswith("tcp_wer") for k in metrics), metrics
+
+
+def test_cli_main_decode_only(corpus, tmp_path, monkeypatch):
+    """The CLI wrapper (main.py) end to end with +decode-style overrides."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "cli_main", Path(__file__).parent.parent / "main.py")
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+
+    out_dir = tmp_path / "cli"
+    metrics = cli.main(_base_overrides(corpus, out_dir)
+                       + ["training.decode_only=true"])
+    assert any(k.endswith("tcp_wer") for k in metrics)
