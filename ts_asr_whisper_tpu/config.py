@@ -175,6 +175,7 @@ class TrainingConfig:
     adam_beta1: float = 0.9
     adam_beta2: float = 0.999
     adam_epsilon: float = 1e-8
+    adam_mu_dtype: Optional[str] = None  # e.g. 'bfloat16' halves moment memory
 
     bf16: bool = True
     bf16_full_eval: bool = True

@@ -88,10 +88,12 @@ def build_optimizer(
 
     def adamw(lr_mult: float):
         sched = make_lr_schedule(cfg, cfg.learning_rate * lr_mult)
+        mu_dtype = getattr(cfg, "adam_mu_dtype", None)
         return optax.chain(
             optax.clip_by_global_norm(cfg.max_grad_norm),
             optax.adamw(sched, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
-                        eps=cfg.adam_epsilon, weight_decay=cfg.weight_decay),
+                        eps=cfg.adam_epsilon, weight_decay=cfg.weight_decay,
+                        mu_dtype=mu_dtype),
         )
 
     mult = cfg.fddt_lr_multiplier if cfg.use_custom_optimizer else 1.0

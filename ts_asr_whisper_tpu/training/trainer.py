@@ -196,6 +196,10 @@ class Trainer:
         t = self.cfg.training
         train_step, _ = self._steps
         last_log = time.time()
+        profiling = False
+        if t.profile_dir:
+            jax.profiler.start_trace(t.profile_dir)
+            profiling = True
         for batch in train_iter:
             if self.state.step >= t.max_steps:
                 break
@@ -222,6 +226,11 @@ class Trainer:
             if (t.save_strategy == "steps" and self.checkpoint_fn is not None
                     and self.state.step % t.save_steps == 0):
                 self.checkpoint_fn(self.state.params, self.state.step)
+            if profiling and self.state.step >= 12:
+                jax.profiler.stop_trace()  # profile the first dozen steps
+                profiling = False
+        if profiling:
+            jax.profiler.stop_trace()
         return self.state
 
     def _run_eval(self) -> bool:
