@@ -205,6 +205,11 @@ class ModelTrainer:
         os.makedirs(t.output_dir, exist_ok=True)
 
         if t.decode_only:
+            if not self.eval_datasets:
+                raise ValueError(
+                    "decode_only=true but no eval cutsets could be loaded "
+                    f"from {self.cfg.data.eval_cutsets} — refusing to "
+                    "produce an empty decode run")
             metrics = self.do_eval(self.container.params, self.eval_datasets,
                                    0, "test")
             return metrics
