@@ -14,7 +14,7 @@ import re
 from dataclasses import replace
 from functools import reduce
 from pathlib import Path
-from typing import Callable, Dict, List, Optional, Sequence, Union
+from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 

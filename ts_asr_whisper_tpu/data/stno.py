@@ -8,7 +8,7 @@ into 4 soft class probabilities per frame for a chosen target speaker.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 

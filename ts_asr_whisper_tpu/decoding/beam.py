@@ -15,7 +15,7 @@ tensor — no dynamic shapes, no host round-trips inside the loop.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -114,6 +114,17 @@ def compute_longform_metrics(
     rows = calculate_wers(processed, output_dir, metrics_list,
                           save_visualizations=save_visualizations)
 
+    # annotate rows with the session language (per-language aggregation in
+    # scripts/compute_overall_statistics.py)
+    lang_by_session = {}
+    for c in references_cs:
+        lang = (c.custom or {}).get("lang") if getattr(c, "custom", None) else None
+        if lang:
+            lang_by_session[get_cut_recording_id(c)] = lang
+    for row in rows:
+        if row.get("session_id") in lang_by_session:
+            row["language"] = lang_by_session[row["session_id"]]
+
     # per-session CSV (evaluation.py:286-288)
     csv_path = Path(output_dir) / "all_session_wer.csv"
     if rows:

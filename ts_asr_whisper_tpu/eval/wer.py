@@ -19,7 +19,7 @@ backed by the native C++ time-constrained Levenshtein (eval/native.py):
 from __future__ import annotations
 
 import itertools
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 from scipy.optimize import linear_sum_assignment

@@ -15,7 +15,7 @@ T = CTC frames, V = vocab+1 (blank last).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

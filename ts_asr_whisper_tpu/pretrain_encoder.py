@@ -26,7 +26,6 @@ from .ops.ctc import ctc_greedy_decode, ctc_loss_from_padded_labels
 from .training.checkpoints import export_hf_checkpoint, save_checkpoint
 from .training.dataloader import DataLoader, eval_batches
 from .training.optim import build_optimizer
-from .training.trainer import Trainer
 from .txt_norm import get_text_norm
 from .utils.logging_def import get_logger
 

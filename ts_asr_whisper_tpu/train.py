@@ -11,14 +11,13 @@ from __future__ import annotations
 import os
 from functools import reduce
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
 from .config import Cfg
 from .data.collators import DataCollator
 from .data.datasets import TS_ASR_Dataset, build_datasets, load_cutsets
-from .data.manifests import CutSet
 from .decoding.generation_config import GenerationConfig
 from .decoding.longform import longform_generate
 from .eval.metrics import compute_longform_metrics
@@ -259,8 +258,21 @@ class ModelTrainer:
             base = {k: v for k, v in final_params.items() if k != "lora"}
             final_params = merge_lora(base, final_params["lora"])
 
+        gen_json = {
+            "max_length": self.gen_cfg.max_length,
+            "decoder_start_token_id": self.gen_cfg.decoder_start_token_id,
+            "eos_token_id": self.gen_cfg.eos_token_id,
+            "pad_token_id": self.gen_cfg.pad_token_id,
+            "bos_token_id": self.gen_cfg.bos_token_id,
+            "no_timestamps_token_id": self.gen_cfg.no_timestamps_token_id,
+            "return_timestamps": self.gen_cfg.return_timestamps,
+            "ctc_weight": self.gen_cfg.ctc_weight,
+            "suppress_tokens": list(self.gen_cfg.suppress_tokens),
+            "begin_suppress_tokens": None,
+        }
         export_hf_checkpoint(final_params, self.container.model_config,
-                             os.path.join(t.output_dir, "hf_export"))
+                             os.path.join(t.output_dir, "hf_export"),
+                             generation_config=gen_json)
         if self.eval_datasets:
             return self.do_eval(final_params, self.eval_datasets,
                                 state.step, "test")

@@ -14,7 +14,6 @@ import os
 from pathlib import Path
 from typing import Any, Optional
 
-import jax
 import numpy as np
 
 from ..models.config import DiCoWConfig

@@ -9,7 +9,7 @@ optimizer machinery handles that via path prefixes ('lora/...').
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Sequence
 
 import jax
 import jax.numpy as jnp
