@@ -47,3 +47,27 @@ def test_nsf_idempotent():
     for case in CASES:
         once = ours(case)
         assert ours(once) == once
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference normalizer unavailable")
+def test_nsf_with_reference_spelling_maps(monkeypatch):
+    """With the UK->US spelling JSONs supplied as external data (pointing at
+    the reference's own assets), our NSF normalizer matches the reference on
+    UK spellings too."""
+    import os
+
+    base = "/root/reference/src/txt_norm"
+    if not os.path.exists(f"{base}/english.json"):
+        pytest.skip("reference spelling assets unavailable")
+    monkeypatch.setenv("TSAW_SPELLING_JSON", f"{base}/english.json")
+    monkeypatch.setenv("TSAW_PRE_SPELLING_JSON", f"{base}/pre_english.json")
+    from ts_asr_whisper_tpu.txt_norm.nsf import NsfEnglishTextNormalizer
+
+    ours = NsfEnglishTextNormalizer()
+    cases = [
+        "The colour of the organised labour programme",
+        "a metre of fibre at the theatre centre",
+        "I analysed the behaviour of my neighbour",
+    ] + CASES
+    for case in cases:
+        assert ours(case) == ref_norm(case), case

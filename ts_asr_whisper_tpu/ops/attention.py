@@ -140,10 +140,17 @@ flash_mha.defvjp(_fwd, _bwd)
 
 def sdpa(q, k, v, mask=None):
     """Dispatching scaled-dot-product attention core (q pre-scaled)."""
-    if (mask is None and _IMPL == "pallas" and q.ndim == 4
+    if (mask is None and _IMPL == "pallas" and q.ndim >= 4
             and q.shape[-2] == k.shape[-2] and q.shape[-2] >= 256):
         # Pallas kernel only for long unmasked self-attention (the encoder);
-        # decoder cross-attention (q_len != kv_len, tiny q) stays on XLA
+        # decoder cross-attention (q_len != kv_len, tiny q) stays on XLA.
+        # Extra leading dims (SE-DiCoW's (B, S, H, T, hd) streams) flatten
+        # into the kernel's batch axis.
+        if q.ndim > 4:
+            lead = q.shape[:-3]
+            flat = lambda x: x.reshape(-1, *x.shape[-3:])  # noqa: E731
+            out = flash_mha(flat(q), flat(k), flat(v))
+            return out.reshape(*lead, *out.shape[-3:])
         return flash_mha(q, k, v)
     scores = jnp.einsum("...qd,...kd->...qk", q, k,
                         preferred_element_type=_SCORE_DTYPE)
