@@ -222,3 +222,46 @@ def test_longform_beam_joint_ctc_smoke(rng):
     out = lf.longform_generate(params, cfg, gen_cfg, feats, stno, attn,
                                prompts, max_new_tokens=8)
     assert out.sequences.shape[0] == 2
+
+
+def test_longform_compaction_varied_lengths(rng):
+    """Recordings of very different lengths: the active-row compaction must
+    still produce per-row coverage identical to full-batch processing."""
+    from ts_asr_whisper_tpu.decoding.generation_config import GenerationConfig
+    from ts_asr_whisper_tpu.models.config import DiCoWConfig
+    from ts_asr_whisper_tpu.models.dicow import init_dicow
+    import jax
+
+    V = 1700
+    ts_begin = V - 1501
+    cfg = DiCoWConfig(
+        vocab_size=V, num_mel_bins=24, d_model=32, encoder_layers=1,
+        decoder_layers=1, encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, max_source_positions=48,
+        max_target_positions=64, decoder_start_token_id=31, eos_token_id=30,
+        pad_token_id=30, bos_token_id=30, dtype="float32",
+        use_fddt=True, use_pre_pos_fddt=True)
+    params = init_dicow(jax.random.PRNGKey(2), cfg)
+    gen_cfg = GenerationConfig(
+        eos_token_id=30, pad_token_id=30, bos_token_id=30,
+        decoder_start_token_id=31, no_timestamps_token_id=ts_begin - 1,
+        return_timestamps=True, max_length=20)
+
+    b = 5
+    t_total = 96 * 4
+    feats = rng.standard_normal((b, 24, t_total)).astype(np.float32)
+    stno = rng.random((b, 4, t_total // 2)).astype(np.float32)
+    stno /= stno.sum(axis=1, keepdims=True)
+    attn = np.zeros((b, t_total), dtype=np.int32)
+    lengths = [96 * 4, 96 * 1, 96 * 3, 50, 96 * 2]  # very unequal
+    for i, n in enumerate(lengths):
+        attn[i, :n] = 1
+    prompts = np.tile(np.array([[31, 50]], dtype=np.int32), (b, 1))
+
+    out = lf.longform_generate(params, cfg, gen_cfg, feats, stno, attn,
+                               prompts, max_new_tokens=8,
+                               return_segments=True)
+    assert out.sequences.shape[0] == b
+    # every row was decoded (segments may be empty for pure-noise audio, but
+    # the seek loop must have consumed all frames without error)
+    assert len(out.segments) == b

@@ -119,3 +119,38 @@ def test_aggregation():
     agg = aggregate_wer_metrics(rows, ["tcp_wer"])
     assert abs(agg["tcp_wer"] - 0.15) < 1e-9
     assert agg["tcp_mean_missed_speaker"] == 0.5
+
+
+def test_tcp_wer_collar_edge():
+    """A hyp word point exactly collar seconds outside the ref interval is
+    still matchable (inclusive overlap)."""
+    ref = SegLST([seg("A", 10.0, 12.0, "word")])
+    # hyp point at 17.0 => interval [12.0, 22.0] with collar 5 touches ref end
+    hyp = SegLST([seg("h", 16.0, 18.0, "word")])
+    res = calc_session_tcp_wer(ref, hyp, collar=5)
+    assert res["tcp_errors"] == 0
+    # collar 4.9 -> point 17.0 extends to [12.1, 21.9]: no overlap with ref
+    res2 = calc_session_tcp_wer(ref, hyp, collar=4.9)
+    assert res2["tcp_errors"] == 2
+
+
+def test_character_proportional_word_timing():
+    """Longer words get proportionally longer pseudo intervals."""
+    from ts_asr_whisper_tpu.eval.wer import _segment_word_times
+
+    times = _segment_word_times(
+        {"words": "a bcdef", "start_time": 0.0, "end_time": 7.0}, "interval")
+    (w1, b1, e1), (w2, b2, e2) = times
+    assert abs((e1 - b1) - 7.0 / 6) < 1e-9        # 'a': 1 of 6 chars
+    assert abs((e2 - b2) - 7.0 * 5 / 6) < 1e-9    # 'bcdef': 5 of 6 chars
+    pts = _segment_word_times(
+        {"words": "a bcdef", "start_time": 0.0, "end_time": 7.0}, "points")
+    assert pts[0][1] == pts[0][2]  # points collapse
+
+
+def test_tcp_wer_empty_hypothesis():
+    ref = SegLST([seg("A", 0, 2, "one two three")])
+    hyp = SegLST([])
+    res = calc_session_tcp_wer(ref, hyp, collar=5)
+    assert res["tcp_errors"] == 3 and res["tcp_deletions"] == 3
+    assert res["tcp_wer"] == 1.0
