@@ -265,3 +265,54 @@ def test_longform_compaction_varied_lengths(rng):
     # every row was decoded (segments may be empty for pure-noise audio, but
     # the seek loop must have consumed all frames without error)
     assert len(out.segments) == b
+
+
+def test_longform_temperature_fallback(rng):
+    """With an impossible logprob threshold and multiple temperatures, the
+    fallback path re-decodes with sampling and still completes."""
+    from ts_asr_whisper_tpu.decoding.generation_config import GenerationConfig
+    from ts_asr_whisper_tpu.models.config import DiCoWConfig
+    from ts_asr_whisper_tpu.models.dicow import init_dicow
+    import jax
+
+    V = 1700
+    ts_begin = V - 1501
+    cfg = DiCoWConfig(
+        vocab_size=V, num_mel_bins=24, d_model=32, encoder_layers=1,
+        decoder_layers=1, encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, max_source_positions=48,
+        max_target_positions=64, decoder_start_token_id=31, eos_token_id=30,
+        pad_token_id=30, bos_token_id=30, dtype="float32",
+        use_fddt=True, use_pre_pos_fddt=True)
+    params = init_dicow(jax.random.PRNGKey(4), cfg)
+    gen_cfg = GenerationConfig(
+        eos_token_id=30, pad_token_id=30, bos_token_id=30,
+        decoder_start_token_id=31, no_timestamps_token_id=ts_begin - 1,
+        return_timestamps=True, max_length=20,
+        temperature=(0.0, 0.4, 0.8),
+        logprob_threshold=10.0)  # impossible: every row falls back
+
+    t_total = 96
+    feats = rng.standard_normal((2, 24, t_total)).astype(np.float32)
+    stno = rng.random((2, 4, t_total // 2)).astype(np.float32)
+    stno /= stno.sum(axis=1, keepdims=True)
+    attn = np.ones((2, t_total), dtype=np.int32)
+    prompts = np.array([[31, 50], [31, 50]], dtype=np.int32)
+
+    out = lf.longform_generate(params, cfg, gen_cfg, feats, stno, attn,
+                               prompts, max_new_tokens=8)
+    assert out.sequences.shape[0] == 2
+
+
+def test_needs_fallback_checks():
+    from ts_asr_whisper_tpu.decoding.generation_config import GenerationConfig
+    from ts_asr_whisper_tpu.decoding.longform import _needs_fallback
+
+    gc = GenerationConfig(logprob_threshold=-1.0,
+                          compression_ratio_threshold=2.4)
+    # low avg logprob -> fallback
+    assert _needs_fallback(np.array([5, 6, 7]), -2.0, gc)
+    # fine logprob, incompressible tokens -> no fallback
+    assert not _needs_fallback(np.arange(50), -0.5, gc)
+    # hugely repetitive tokens -> compression ratio fires
+    assert _needs_fallback(np.array([7] * 400), -0.5, gc)

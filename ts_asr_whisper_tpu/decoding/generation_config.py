@@ -31,6 +31,7 @@ class GenerationConfig:
     repetition_penalty: Optional[float] = None
     no_speech_threshold: Optional[float] = None
     logprob_threshold: Optional[float] = None
+    compression_ratio_threshold: Optional[float] = None
     temperature: Tuple[float, ...] = (0.0,)
     task_to_id: Tuple[Tuple[str, int], ...] = (("transcribe", 50360),
                                                ("translate", 50359))

@@ -35,7 +35,8 @@ class GreedyOutput(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("cfg", "gen_cfg", "max_new_tokens",
-                                   "ctc_scorer", "force_full_length"))
+                                   "ctc_scorer", "force_full_length",
+                                   "temperature"))
 def greedy_decode(
     params: Dict[str, Any],
     cfg: DiCoWConfig,
@@ -46,6 +47,8 @@ def greedy_decode(
     ctc_scorer=None,              # optional: see decoding/ctc_rescorer.py
     ctc_state=None,
     force_full_length: bool = False,  # benchmarking: ignore EOS early exit
+    temperature: float = 0.0,     # >0: multinomial sampling (fallback retries)
+    rng_key: jax.Array | None = None,
 ) -> GreedyOutput:
     dec = params["decoder"]
     b, prompt_len = init_tokens.shape
@@ -76,6 +79,7 @@ def greedy_decode(
         logits: jax.Array
         sum_logprobs: jax.Array
         ctc_state: Any
+        rng: jax.Array
 
     def cond(c: Carry):
         if force_full_length:
@@ -89,7 +93,13 @@ def greedy_decode(
             scores = jax.nn.log_softmax(scores, axis=-1)
             scores, ctc_state_new = ctc_scorer.rescore(
                 c.ctc_state, c.tokens, c.cur_len, scores)
-        next_tok = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        rng = c.rng
+        if temperature > 0.0:
+            rng, sub = jax.random.split(rng)
+            next_tok = jax.random.categorical(
+                sub, scores / temperature, axis=-1).astype(jnp.int32)
+        else:
+            next_tok = jnp.argmax(scores, axis=-1).astype(jnp.int32)
         next_tok = jnp.where(c.finished, pad, next_tok)
         logp = jax.nn.log_softmax(scores, axis=-1)
         tok_logp = jnp.take_along_axis(logp, next_tok[:, None], axis=1)[:, 0]
@@ -104,11 +114,13 @@ def greedy_decode(
                                        c.cur_len, c.cache, cross_kv)
         logits = lm_logits(dec, hidden[:, -1]).astype(jnp.float32)
         return Carry(tokens, c.cur_len + 1, finished, cache, logits,
-                     sum_logprobs, ctc_state_new)
+                     sum_logprobs, ctc_state_new, rng)
 
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
     init = Carry(tokens, jnp.asarray(prompt_len, jnp.int32),
                  jnp.zeros((b,), bool), cache, logits0,
-                 jnp.zeros((b,), jnp.float32), ctc_state)
+                 jnp.zeros((b,), jnp.float32), ctc_state, rng_key)
     final = jax.lax.while_loop(cond, body, init)
 
     # valid length = prompt + tokens up to and including first EOS

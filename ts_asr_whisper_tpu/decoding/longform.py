@@ -213,6 +213,27 @@ def fix_timestamps_from_segmentation(
     return out
 
 
+
+
+def _needs_fallback(tokens, avg_logprob, gen_cfg: GenerationConfig,
+                    tokenizer=None) -> bool:
+    """HF generate_with_fallback quality checks: high zlib compression ratio
+    (repetition) or low average logprob triggers a re-decode at the next
+    temperature."""
+    import zlib
+
+    if gen_cfg.compression_ratio_threshold is not None and len(tokens):
+        if tokenizer is not None:
+            data = tokenizer.decode(tokens, skip_special_tokens=True).encode()
+        else:
+            data = np.asarray(tokens, np.int32).tobytes()
+        if len(data) and len(data) / max(
+                len(zlib.compress(data)), 1) > gen_cfg.compression_ratio_threshold:
+            return True
+    if gen_cfg.logprob_threshold is not None             and avg_logprob < gen_cfg.logprob_threshold:
+        return True
+    return False
+
 # ---------------------------------------------------------------------------
 # language detection (generation.py:151-221)
 # ---------------------------------------------------------------------------
@@ -257,6 +278,7 @@ def longform_generate(
     return_segments: bool = False,
     upper_to_lower: Optional[np.ndarray] = None,  # (2, n) case-fold map
     detect_lang: bool = False,  # fill forced_decoder_ids[:,1] by detection
+    tokenizer=None,  # optional: text-level compression-ratio fallback check
 ):
     """Batched long-form transcription. Returns LongformOutput whose
     ``sequences`` carry re-blocked 0-30 s timestamps (ready for the SegLST
@@ -385,6 +407,44 @@ def longform_generate(
             lengths[i] = bucket_len[j]
             for name, arr in bucket_extra.items():
                 full_extra[name][i] = arr[j]
+
+        # temperature fallback (generate_with_fallback): rows failing the
+        # quality checks re-decode at successive temperatures with sampling;
+        # the whole bucket re-runs (fallback is rare) and only failing rows
+        # take the new result
+        temps = tuple(gen_cfg.temperature or (0.0,))
+        if len(temps) > 1 and (gen_cfg.logprob_threshold is not None
+                               or gen_cfg.compression_ratio_threshold
+                               is not None):
+            for t_i, temp in enumerate(temps[1:], start=1):
+                needs = np.zeros(b, dtype=bool)
+                for i in np.unique(rows):
+                    gen_len = max(int(lengths[i]) - prompt_len, 1)
+                    avg_lp = full_extra.get("sum_logprobs",
+                                            np.zeros(b))[i] / gen_len
+                    seq_i = sequences[i, prompt_len: int(lengths[i])]
+                    needs[i] = _needs_fallback(seq_i, avg_lp, gen_cfg,
+                                               tokenizer)
+                if not needs.any():
+                    break
+                retry = greedy_decode(
+                    params, cfg, gen_cfg, enc, jnp.asarray(forced_rows),
+                    max_new, ctc_scorer=ctc_scorer, ctc_state=ctc_state,
+                    temperature=float(temp),
+                    rng_key=jax.random.PRNGKey(int(seek.sum()) + t_i))
+                r_seq = np.asarray(retry.sequences)
+                r_len = np.asarray(retry.lengths)
+                r_lp = np.asarray(retry.sum_logprobs)
+                seen = set()
+                for j, i in enumerate(rows):
+                    if i in seen:
+                        continue
+                    seen.add(i)
+                    if needs[i]:
+                        sequences[i, : r_seq.shape[1]] = r_seq[j]
+                        lengths[i] = r_len[j]
+                        if "sum_logprobs" in full_extra:
+                            full_extra["sum_logprobs"][i] = r_lp[j]
 
         # no-speech skip (HF generate_with_fallback semantics): a window
         # whose no-speech prob exceeds the threshold while the decode is
