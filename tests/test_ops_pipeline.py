@@ -112,3 +112,24 @@ def test_diarize_rttm_align_decode_rescore(tmp_path):
                        "--metrics", "tcp_wer", "--workers", "1")
     res = json.loads(rescore_out)
     assert "tcp_wer" in res
+
+
+def test_emma_submission_and_overall_stats(tmp_path):
+    """scripts: merge hyp JSONs into a submission; merge CSVs into stats."""
+    wer_dir = tmp_path / "pred" / "wer" / "sess1"
+    wer_dir.mkdir(parents=True)
+    hyp = [{"session_id": "sess1", "start_time": 0.0, "end_time": 1.0,
+            "words": "hello", "speaker": "A"}]
+    with open(wer_dir / "tcp_wer_hyp.json", "w") as f:
+        json.dump(hyp, f)
+    out = tmp_path / "submission.json"
+    _run("generate_emma_submission.py", tmp_path / "pred", "--output", out)
+    assert json.load(open(out)) == hyp
+
+    csv_path = tmp_path / "all_session_wer.csv"
+    csv_path.write_text(
+        "session_id,tcp_errors,tcp_length,language\n"
+        "s1,2,10,en\ns2,3,10,de\n")
+    stats = json.loads(_run("compute_overall_statistics.py", csv_path))
+    assert abs(stats["overall"]["wer"] - 0.25) < 1e-9
+    assert abs(stats["en"]["wer"] - 0.2) < 1e-9
