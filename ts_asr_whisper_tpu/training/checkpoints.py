@@ -91,4 +91,20 @@ def export_hf_checkpoint(params: Any, cfg: DiCoWConfig, out_dir: str,
     if generation_config:
         with open(out / "generation_config.json", "w") as f:
             json.dump(generation_config, f, indent=2)
+    # minimal model card (the reference ships richer ones under
+    # export_sources/readmes/; benchmark tables are a release-time concern)
+    card = (f"# DiCoW (TPU-native export)\n\n"
+            f"Diarization-Conditioned Whisper exported from "
+            f"ts-asr-whisper-tpu.\n\n"
+            f"- d_model {cfg.d_model}, encoder {cfg.encoder_layers}L / "
+            f"decoder {cfg.decoder_layers}L, vocab {cfg.vocab_size}\n"
+            f"- FDDT: {'on' if cfg.use_fddt else 'off'} "
+            f"(diagonal={cfg.fddt_is_diagonal}, init={cfg.fddt_init})\n"
+            f"- CTC weight {cfg.ctc_weight}; "
+            f"SE-DiCoW SCB layers: {cfg.scb_layers}\n\n"
+            f"Load with `DiCoWForConditionalGeneration.from_pretrained` "
+            f"(torch) or `ts_asr_whisper_tpu.models.containers."
+            f"WhisperContainer` (JAX).\n")
+    with open(out / "README.md", "w") as f:
+        f.write(card)
     logger.info("Exported HF checkpoint to %s", out)
