@@ -39,9 +39,14 @@ class WhisperContainer:
 
         impl = m.attention_impl
         if impl == "auto":
+            # pallas flash attention wins for inference (+26% encoder) but
+            # loses under remat'd training (forward runs twice and the
+            # backward is XLA-recompute either way) — so 'auto' enables it
+            # only for decode-only jobs
             try:
                 impl = ("pallas" if jax.default_backend() == "tpu"
-                        and cfg.training.use_flash_attention else "xla")
+                        and cfg.training.use_flash_attention
+                        and cfg.training.decode_only else "xla")
             except Exception:
                 impl = "xla"
         set_attention_impl(impl)
