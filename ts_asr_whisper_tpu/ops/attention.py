@@ -119,20 +119,47 @@ def _fwd(q, k, v):
     return _flash_mha_fwd(q, k, v), (q, k, v)
 
 
-def _bwd(res, g):
+def _bwd(res, g, block_q: int = 256):
+    """Flash-style blocked backward in XLA: recompute attention per q-block
+    inside a scan so the full (B, H, T, T) fp32 score tensor is NEVER
+    materialized (that transient is what OOMs large-batch training)."""
     q, k, v = res
-    # recompute-with-XLA backward (memory-light; matches remat training)
-    scores = jnp.einsum("...qd,...kd->...qk", q, k,
-                        preferred_element_type=jnp.float32)
-    p = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-    pv = p.astype(g.dtype)
-    dv = jnp.einsum("...qk,...qd->...kd", pv, g)
-    dp = jnp.einsum("...qd,...kd->...qk", g, v).astype(jnp.float32)
-    dsoft = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dsoft = dsoft.astype(q.dtype)
-    dq = jnp.einsum("...qk,...kd->...qd", dsoft, k)
-    dk = jnp.einsum("...qk,...qd->...kd", dsoft, q)
-    return dq, dk, dv
+    b, h, t, d = q.shape
+    t_pad = -(-t // block_q) * block_q
+    n_blocks = t_pad // block_q
+
+    def pad_q(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t), (0, 0))) \
+            if t_pad != t else x
+
+    qp, gp = pad_q(q), pad_q(g)
+    # (n_blocks, B, H, block_q, d)
+    q_blocks = jnp.moveaxis(
+        qp.reshape(b, h, n_blocks, block_q, d), 2, 0)
+    g_blocks = jnp.moveaxis(
+        gp.reshape(b, h, n_blocks, block_q, d), 2, 0)
+    # padded q rows carry zero cotangents, so their dsoft/dv terms vanish
+
+    def step(carry, xs):
+        dk_acc, dv_acc = carry
+        qi, gi = xs
+        scores = jnp.einsum("bhqd,bhkd->bhqk", qi, k,
+                            preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(scores, axis=-1)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", gi, v).astype(jnp.float32)
+        dsoft = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))) \
+            .astype(q.dtype)
+        pq = p.astype(q.dtype)
+        dq_i = jnp.einsum("bhqk,bhkd->bhqd", dsoft, k)
+        dk_acc = dk_acc + jnp.einsum("bhqk,bhqd->bhkd", dsoft, qi)
+        dv_acc = dv_acc + jnp.einsum("bhqk,bhqd->bhkd", pq, gi)
+        return (dk_acc, dv_acc), dq_i
+
+    zeros = jnp.zeros_like(k, dtype=jnp.float32)
+    (dk, dv), dq_blocks = jax.lax.scan(step, (zeros, zeros),
+                                       (q_blocks, g_blocks))
+    dq = jnp.moveaxis(dq_blocks, 0, 2).reshape(b, h, t_pad, d)[:, :, :t]
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 flash_mha.defvjp(_fwd, _bwd)
