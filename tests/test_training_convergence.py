@@ -69,17 +69,26 @@ def test_grad_accumulation_matches_big_batch():
     micro1 = {k: v[:2] for k, v in big.items()}
     micro2 = {k: v[2:] for k, v in big.items()}
 
+    # the train step donates params/opt_state buffers; keep host copies
+    params_np = jax.tree.map(lambda x: np.asarray(x).copy(), params)
+
+    def fresh():
+        import jax.numpy as jnp
+
+        return jax.tree.map(jnp.asarray, params_np)
+
     tx_big, st_big = build_optimizer(params, t)
     step_big, _ = make_train_step(CFG, tx_big, num_prefix_tokens=2)
-    p_big, _, _ = step_big(params, st_big, big)
+    p_big, _, _ = step_big(fresh(), st_big, big)
 
-    tx_acc, _ = build_optimizer(params, t)
+    p0 = fresh()
+    tx_acc, _ = build_optimizer(p0, t)
     tx_acc = optax.MultiSteps(tx_acc, 2)
-    st_acc = tx_acc.init(params)
+    st_acc = tx_acc.init(p0)
     step_acc, _ = make_train_step(CFG, tx_acc, num_prefix_tokens=2)
-    p_acc, st_acc, _ = step_acc(params, st_acc, micro1)
+    p_acc, st_acc, _ = step_acc(p0, st_acc, micro1)
     # first micro-step must not change params
-    for a, b in zip(jax.tree.leaves(p_acc), jax.tree.leaves(params)):
+    for a, b in zip(jax.tree.leaves(p_acc), jax.tree.leaves(params_np)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     p_acc, st_acc, _ = step_acc(p_acc, st_acc, micro2)
 

@@ -52,7 +52,9 @@ def make_pretrain_step(model_cfg, tx, num_prefix_tokens: int):
             logits, labels, blank_id=model_cfg.ctc_vocab_size - 1)
         return loss, {"loss": loss}
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch):
         (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch)
