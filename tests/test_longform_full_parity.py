@@ -232,3 +232,35 @@ def test_longform_full_parity_beam(rng):
         assert _strip(ours.sequences[b]) == _strip(ref_out[b]), (
             f"row {b}\nours {_strip(ours.sequences[b])}"
             f"\nref  {_strip(ref_out[b])}")
+
+
+@pytest.mark.parametrize("seed,lp", [(31, 0.1), (37, 1.0)])
+def test_longform_full_parity_beam_more(rng, seed, lp):
+    """Beam parity robustness: more seeds + the beam_joint config's
+    length_penalty=0.1."""
+    ref, cfg, params = _make_pair(seed=seed)
+    t_total = 96 * 2
+    rng = np.random.default_rng(seed)
+    feats = (rng.standard_normal((2, 24, t_total)) * 0.5).astype(np.float32)
+    raw = rng.random((2, 4, t_total // 2)).astype(np.float32)
+    stno = raw / raw.sum(axis=1, keepdims=True)
+    attn = np.ones((2, t_total), dtype=np.int64)
+
+    try:
+        ref_out = _ref_generate(ref, feats, stno, attn, num_beams=2,
+                                length_penalty=lp)
+    except Exception as e:
+        pytest.skip(f"reference generate() not drivable: "
+                    f"{type(e).__name__}: {e}")
+
+    gen_cfg = GenerationConfig(
+        eos_token_id=EOS, pad_token_id=EOS, bos_token_id=EOS,
+        decoder_start_token_id=SOT, no_timestamps_token_id=NO_TS,
+        return_timestamps=True, max_length=80, suppress_tokens=(),
+        begin_suppress_tokens=(), num_beams=2, length_penalty=lp)
+    prompts = np.array([[SOT, LANG, TASK]] * 2, dtype=np.int32)
+    ours = longform_generate(params, cfg, gen_cfg, feats, stno, attn, prompts)
+    for b in range(2):
+        assert _strip(ours.sequences[b]) == _strip(ref_out[b]), (
+            f"seed {seed} lp {lp} row {b}\nours "
+            f"{_strip(ours.sequences[b])}\nref  {_strip(ref_out[b])}")

@@ -102,13 +102,16 @@ def beam_search(
         done: jax.Array
 
     def improvement_possible(c: Carry):
-        """early_stopping=False heuristic: can any running beam still beat
-        the worst finished one?"""
+        """HF stopping semantics: with early_stopping=True a batch row stops
+        as soon as num_beams hypotheses finished; with False it continues
+        while a running beam could still beat the worst finished one."""
+        all_full = c.is_finished.all(axis=1)
+        if gen_cfg.early_stopping:
+            return ~all_full
         gen_len = jnp.maximum(c.cur_len + 1 - prompt_len, 1).astype(jnp.float32)
         best_running = c.running_scores.max(axis=1) / gen_len**lp
         worst_finished = jnp.where(c.is_finished.any(axis=1),
                                    c.fin_scores.min(axis=1), NEG)
-        all_full = c.is_finished.all(axis=1)
         return ~(all_full & (worst_finished >= best_running))
 
     def cond(c: Carry):
