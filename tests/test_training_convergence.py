@@ -96,3 +96,46 @@ def test_grad_accumulation_matches_big_batch():
     for a, b in zip(jax.tree.leaves(p_acc), jax.tree.leaves(p_big)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=1e-3)
+
+
+def test_trainer_early_stopping_and_eval_cadence(tmp_path):
+    """Eval fires on the step cadence; early stopping halts after patience
+    non-improving evals (reference trainers/early-stopping semantics)."""
+    from ts_asr_whisper_tpu.config import Cfg
+    from ts_asr_whisper_tpu.training.trainer import Trainer
+
+    cfg = Cfg()
+    t = cfg.training
+    t.output_dir = str(tmp_path)
+    t.max_steps = 50
+    t.logging_steps = 100
+    t.eval_strategy = "steps"
+    t.eval_steps = 2
+    t.save_strategy = "no"
+    t.warmup_steps = 0
+    t.use_fddt_only_n_steps = 0
+    t.use_custom_optimizer = False
+    t.metric_for_best_model = "wer"
+    t.greater_is_better = False
+    t.early_stopping_patience = 2
+    t.mesh_shape = [1]
+
+    params = init_dicow(jax.random.PRNGKey(0), CFG)
+    eval_calls = []
+
+    def eval_fn(params, step):
+        eval_calls.append(step)
+        # wer never improves after the first eval
+        return {"wer": 0.5 + 0.01 * len(eval_calls)}
+
+    trainer = Trainer(cfg, CFG, params, num_prefix_tokens=2, eval_fn=eval_fn)
+    batch = _batch(2)
+
+    def batches():
+        while True:
+            yield batch
+
+    state = trainer.train(batches())
+    # evals at steps 2,4,6: first sets best, next two exhaust patience=2
+    assert eval_calls == [2, 4, 6]
+    assert state.step == 6  # stopped early, not at max_steps
