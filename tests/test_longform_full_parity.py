@@ -264,3 +264,35 @@ def test_longform_full_parity_beam_more(rng, seed, lp):
         assert _strip(ours.sequences[b]) == _strip(ref_out[b]), (
             f"seed {seed} lp {lp} row {b}\nours "
             f"{_strip(ours.sequences[b])}\nref  {_strip(ref_out[b])}")
+
+
+def test_longform_full_parity_ragged_lengths(rng):
+    """Rows with different audio lengths: our active-row compaction must
+    match the reference's per-sample seek handling token-for-token."""
+    ref, cfg, params = _make_pair(seed=41)
+    t_total = 96 * 3
+    feats = (rng.standard_normal((3, 24, t_total)) * 0.5).astype(np.float32)
+    raw = rng.random((3, 4, t_total // 2)).astype(np.float32)
+    stno = raw / raw.sum(axis=1, keepdims=True)
+    attn = np.zeros((3, t_total), dtype=np.int64)
+    attn[0, :] = 1            # 3 windows
+    attn[1, : 96 * 1] = 1     # 1 window
+    attn[2, : 96 * 2 + 40] = 1  # 2.4 windows (partial tail)
+
+    try:
+        ref_out = _ref_generate(ref, feats, stno, attn)
+    except Exception as e:
+        pytest.skip(f"reference generate() not drivable: "
+                    f"{type(e).__name__}: {e}")
+
+    gen_cfg = GenerationConfig(
+        eos_token_id=EOS, pad_token_id=EOS, bos_token_id=EOS,
+        decoder_start_token_id=SOT, no_timestamps_token_id=NO_TS,
+        return_timestamps=True, max_length=80, suppress_tokens=(),
+        begin_suppress_tokens=())
+    prompts = np.array([[SOT, LANG, TASK]] * 3, dtype=np.int32)
+    ours = longform_generate(params, cfg, gen_cfg, feats, stno, attn, prompts)
+    for b in range(3):
+        assert _strip(ours.sequences[b]) == _strip(ref_out[b]), (
+            f"row {b}\nours {_strip(ours.sequences[b])}"
+            f"\nref  {_strip(ref_out[b])}")
