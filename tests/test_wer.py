@@ -154,3 +154,77 @@ def test_tcp_wer_empty_hypothesis():
     res = calc_session_tcp_wer(ref, hyp, collar=5)
     assert res["tcp_errors"] == 3 and res["tcp_deletions"] == 3
     assert res["tcp_wer"] == 1.0
+
+
+def _brute_force_tcp(ref_segs, hyp_segs, collar):
+    """Exhaustive-permutation tcpWER oracle for tiny sessions: pure-python
+    time-constrained DP + all ref->hyp speaker assignments."""
+    import itertools
+
+    from ts_asr_whisper_tpu.eval.wer import _Vocab, _segment_word_times
+
+    vocab = _Vocab()
+
+    def streams(segs, style):
+        out = {}
+        for s in sorted(segs, key=lambda x: x["start_time"]):
+            words = _segment_word_times(s, style)
+            lst = out.setdefault(s["speaker"], [])
+            lst.extend((vocab[w], b, e) for w, b, e in words)
+        return out
+
+    def tclev(ref, hyp):
+        n, m = len(ref), len(hyp)
+        D = [[0] * (m + 1) for _ in range(n + 1)]
+        for i in range(n + 1):
+            D[i][0] = i
+        for j in range(m + 1):
+            D[0][j] = j
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                best = min(D[i - 1][j] + 1, D[i][j - 1] + 1)
+                rb, re_ = ref[i - 1][1], ref[i - 1][2]
+                hb, he = hyp[j - 1][1] - collar, hyp[j - 1][2] + collar
+                if hb <= re_ and he >= rb:
+                    cost = 0 if ref[i - 1][0] == hyp[j - 1][0] else 1
+                    best = min(best, D[i - 1][j - 1] + cost)
+                D[i][j] = best
+        return D[n][m]
+
+    R = streams(ref_segs, "interval")
+    H = streams(hyp_segs, "points")
+    rk, hk = sorted(R), sorted(H)
+    n = max(len(rk), len(hk))
+    rs = [R[k] for k in rk] + [[]] * (n - len(rk))
+    hs = [H[k] for k in hk] + [[]] * (n - len(hk))
+    best = None
+    for perm in itertools.permutations(range(n)):
+        total = sum(tclev(rs[i], hs[perm[i]]) for i in range(n))
+        best = total if best is None else min(best, total)
+    length = sum(len(R[k]) for k in rk)
+    return best, length
+
+
+def test_tcp_wer_matches_brute_force(rng):
+    """Randomized sessions: the C++ matcher + Hungarian assignment must equal
+    the exhaustive-permutation pure-python oracle."""
+    words = ["a", "b", "c", "d", "e"]
+    for trial in range(10):
+        r = np.random.default_rng(trial)
+
+        def mk(prefix, n_spk, n_seg):
+            segs = []
+            t = 0.0
+            for i in range(n_seg):
+                txt = " ".join(r.choice(words, int(r.integers(1, 4))))
+                segs.append(seg(f"{prefix}{int(r.integers(0, n_spk))}",
+                                t, t + 2.0, txt))
+                t += float(r.uniform(1.0, 4.0))
+            return segs
+
+        ref_segs = mk("A", 2, 4)
+        hyp_segs = mk("h", 3, 4)
+        res = calc_session_tcp_wer(SegLST(ref_segs), SegLST(hyp_segs), collar=2)
+        bf_err, bf_len = _brute_force_tcp(ref_segs, hyp_segs, collar=2)
+        assert res["tcp_errors"] == bf_err, (trial, res["tcp_errors"], bf_err)
+        assert res["tcp_length"] == bf_len
