@@ -142,6 +142,9 @@ class DecodingConfig:
     condition_on_prev: bool = False
     length_penalty: Optional[float] = None
     repetition_penalty: Optional[float] = None
+    # TPU serving optimization: store the cross-attention KV cache int8
+    # (halves the dominant HBM read per decode step; lossy, default off)
+    cross_kv_quant: bool = False
 
 
 @dataclass

@@ -26,6 +26,7 @@ from ..models.whisper import (
     init_kv_cache,
     lm_logits,
     precompute_cross_kv,
+    quantize_cross_kv,
 )
 from .generation_config import GenerationConfig
 from .logits_process import make_logits_processor
@@ -66,9 +67,11 @@ def beam_search(
     process = make_logits_processor(gen_cfg, begin_index=prompt_len)
 
     # cross-attention K/V per audio row, expanded to hypotheses
-    cross_k, cross_v = precompute_cross_kv(dec, cfg, encoder_hidden)
-    cross_k = jnp.repeat(cross_k, n, axis=1)   # (L, Bb, H, T, hd)
-    cross_v = jnp.repeat(cross_v, n, axis=1)
+    cross_kv = precompute_cross_kv(dec, cfg, encoder_hidden)
+    if gen_cfg.cross_kv_quant:
+        cross_kv = quantize_cross_kv(cross_kv)  # int8 before beam expansion
+    cross_kv = jax.tree.map(lambda x: jnp.repeat(x, n, axis=1),
+                            cross_kv)          # (L, Bb, H, T, ...)
     cache = init_kv_cache(cfg, bb, total_len)
 
     tokens = jnp.full((b, n, total_len), pad, dtype=jnp.int32)
@@ -78,7 +81,7 @@ def beam_search(
     # prefill all hypotheses (identical per beam)
     hidden, cache = decoder_cached(dec, cfg,
                                    tokens.reshape(bb, total_len)[:, :prompt_len],
-                                   0, cache, (cross_k, cross_v))
+                                   0, cache, cross_kv)
     logits0 = lm_logits(dec, hidden[:, -1]).astype(jnp.float32)
 
     running_scores = jnp.full((b, n), NEG)
@@ -182,7 +185,7 @@ def beam_search(
         # next decoder step
         hidden, cache = decoder_cached(
             dec, cfg, chosen_tok.reshape(bb, 1), c.cur_len, cache,
-            (cross_k, cross_v))
+            cross_kv)
         logits = lm_logits(dec, hidden[:, -1]).astype(jnp.float32)
 
         return Carry(new_tokens, new_running_scores, fin_tokens, fin_scores,

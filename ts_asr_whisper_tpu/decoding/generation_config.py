@@ -38,6 +38,9 @@ class GenerationConfig:
     lang_ids: Tuple[int, ...] = ()      # sorted ids of language tokens
     is_multilingual: bool = True
     early_stopping: bool = False
+    # serving optimization: int8 cross-KV cache (halves the dominant HBM
+    # read of each decode step; lossy — off for parity-exact decoding)
+    cross_kv_quant: bool = False
 
     @property
     def timestamp_begin(self) -> int:

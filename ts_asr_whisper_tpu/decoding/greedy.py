@@ -22,6 +22,7 @@ from ..models.whisper import (
     init_kv_cache,
     lm_logits,
     precompute_cross_kv,
+    quantize_cross_kv,
 )
 from .generation_config import GenerationConfig
 from .logits_process import make_logits_processor
@@ -60,6 +61,8 @@ def greedy_decode(
     process = make_logits_processor(gen_cfg, begin_index=prompt_len)
 
     cross_kv = precompute_cross_kv(dec, cfg, encoder_hidden)
+    if gen_cfg.cross_kv_quant:
+        cross_kv = quantize_cross_kv(cross_kv)
     cache = init_kv_cache(cfg, b, total_len)
 
     tokens = jnp.full((b, total_len), pad, dtype=jnp.int32)
