@@ -316,3 +316,46 @@ def test_needs_fallback_checks():
     assert not _needs_fallback(np.arange(50), -0.5, gc)
     # hugely repetitive tokens -> compression ratio fires
     assert _needs_fallback(np.array([7] * 400), -0.5, gc)
+
+
+def test_longform_mesh_dp_matches_unsharded(rng):
+    """DP decode over a 4-device mesh must produce the exact token streams of
+    the single-device path (sharding only changes placement, not math)."""
+    from ts_asr_whisper_tpu.decoding.generation_config import GenerationConfig
+    from ts_asr_whisper_tpu.models.config import DiCoWConfig
+    from ts_asr_whisper_tpu.models.dicow import init_dicow
+    from ts_asr_whisper_tpu.parallel.mesh import make_mesh
+    import jax
+
+    V = 1700
+    ts_begin = V - 1501
+    cfg = DiCoWConfig(
+        vocab_size=V, num_mel_bins=24, d_model=32, encoder_layers=1,
+        decoder_layers=1, encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, max_source_positions=48,
+        max_target_positions=64, decoder_start_token_id=31, eos_token_id=30,
+        pad_token_id=30, bos_token_id=30, dtype="float32",
+        use_fddt=True, use_pre_pos_fddt=True)
+    params = init_dicow(jax.random.PRNGKey(2), cfg)
+    gen_cfg = GenerationConfig(
+        eos_token_id=30, pad_token_id=30, bos_token_id=30,
+        decoder_start_token_id=31, no_timestamps_token_id=ts_begin - 1,
+        return_timestamps=True, max_length=20)
+
+    b = 6  # not a multiple of 4: exercises the bucket round-up
+    t_total = 96 * 3
+    feats = rng.standard_normal((b, 24, t_total)).astype(np.float32)
+    stno = rng.random((b, 4, t_total // 2)).astype(np.float32)
+    stno /= stno.sum(axis=1, keepdims=True)
+    attn = np.zeros((b, t_total), dtype=np.int32)
+    lengths = [96 * 3, 96, 96 * 2, 50, 96 * 3, 96]
+    for i, n in enumerate(lengths):
+        attn[i, :n] = 1
+    prompts = np.tile(np.array([[31, 50]], dtype=np.int32), (b, 1))
+
+    base = lf.longform_generate(params, cfg, gen_cfg, feats, stno, attn,
+                                prompts, max_new_tokens=8)
+    mesh = make_mesh([4], devices=jax.devices()[:4])
+    dp = lf.longform_generate(params, cfg, gen_cfg, feats, stno, attn,
+                              prompts, max_new_tokens=8, mesh=mesh)
+    np.testing.assert_array_equal(base.sequences, dp.sequences)

@@ -279,10 +279,16 @@ def longform_generate(
     upper_to_lower: Optional[np.ndarray] = None,  # (2, n) case-fold map
     detect_lang: bool = False,  # fill forced_decoder_ids[:,1] by detection
     tokenizer=None,  # optional: text-level compression-ratio fallback check
+    mesh=None,  # optional jax.sharding.Mesh with a "data" axis: DP decode
 ):
     """Batched long-form transcription. Returns LongformOutput whose
     ``sequences`` carry re-blocked 0-30 s timestamps (ready for the SegLST
-    parser in eval/)."""
+    parser in eval/).
+
+    With ``mesh``, params are replicated and every per-window device input is
+    sharded on the mesh's ``data`` axis, so the jitted encoder + decode loops
+    compile SPMD across chips (the reference scales eval via DDP ranks,
+    evaluation.py:239-291; here one process drives the whole mesh)."""
     b, _, t_total = input_features.shape
     num_segment_frames = cfg.max_source_positions * INPUT_STRIDE
     max_frames = np.asarray(attention_mask).sum(-1).astype(np.int64)
@@ -292,6 +298,23 @@ def longform_generate(
 
     all_segments: List[List[Segment]] = [[] for _ in range(b)]
     ts_begin = gen_cfg.timestamp_begin
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_data = mesh.shape["data"]
+        params = jax.device_put(params,
+                                NamedSharding(mesh, PartitionSpec()))
+        _batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+
+        def _dev(x):
+            arr = x if isinstance(x, jax.Array) else np.asarray(x)
+            if arr.shape[0] % n_data == 0:
+                return jax.device_put(arr, _batch_sharding)
+            return jnp.asarray(arr)
+    else:
+        n_data = 1
+        _dev = jnp.asarray
 
     input_features = np.asarray(input_features)
 
@@ -309,8 +332,8 @@ def longform_generate(
         first_stno = slice_stno_for_seek(stno_mask, np.zeros(b, np.int64),
                                          max_frames, num_segment_frames // 2)
         enc0 = dicow_encoder_forward(params["encoder"], cfg,
-                                     jnp.asarray(first),
-                                     jnp.asarray(first_stno), **enroll_args)
+                                     _dev(first),
+                                     _dev(first_stno), **enroll_args)
         langs = detect_language(params, cfg, gen_cfg, enc0)
         forced_decoder_ids = np.asarray(forced_decoder_ids).copy()
         forced_decoder_ids[:, 1] = langs
@@ -328,6 +351,8 @@ def longform_generate(
         # across calls). Device arrays are indexed by `rows`.
         active_idx = np.where(seek < max_frames)[0]
         bucket = _next_pow2(len(active_idx))
+        if bucket % n_data:  # DP decode: buckets must tile the mesh
+            bucket = -(-bucket // n_data) * n_data
         rows = np.concatenate(
             [active_idx,
              np.full(bucket - len(active_idx), active_idx[0], np.int64)])
@@ -351,12 +376,12 @@ def longform_generate(
         bucket_enroll = {}
         if enroll_args:
             bucket_enroll = dict(
-                enroll_features=enroll_args["enroll_features"][rows],
-                enroll_stno=enroll_args["enroll_stno"][rows])
+                enroll_features=_dev(enroll_args["enroll_features"][rows]),
+                enroll_stno=_dev(enroll_args["enroll_stno"][rows]))
 
         enc = dicow_encoder_forward(
-            params["encoder"], cfg, jnp.asarray(window),
-            jnp.asarray(stno_window), **bucket_enroll)
+            params["encoder"], cfg, _dev(window),
+            _dev(stno_window), **bucket_enroll)
 
         ctc_scorer = None
         ctc_state = None
@@ -379,12 +404,12 @@ def longform_generate(
             from .beam import beam_search
 
             out = beam_search(params, cfg, gen_cfg, enc,
-                              jnp.asarray(forced_rows), max_new,
+                              _dev(forced_rows), max_new,
                               num_beams=gen_cfg.num_beams,
                               ctc_scorer=ctc_scorer, ctc_state=ctc_state)
         else:
             out = greedy_decode(params, cfg, gen_cfg, enc,
-                                jnp.asarray(forced_rows), max_new,
+                                _dev(forced_rows), max_new,
                                 ctc_scorer=ctc_scorer, ctc_state=ctc_state)
         # scatter bucket results back to full-batch views (first occurrence
         # of each row wins; padded duplicates are ignored)
@@ -428,7 +453,7 @@ def longform_generate(
                 if not needs.any():
                     break
                 retry = greedy_decode(
-                    params, cfg, gen_cfg, enc, jnp.asarray(forced_rows),
+                    params, cfg, gen_cfg, enc, _dev(forced_rows),
                     max_new, ctc_scorer=ctc_scorer, ctc_state=ctc_state,
                     temperature=float(temp),
                     rng_key=jax.random.PRNGKey(int(seek.sum()) + t_i))

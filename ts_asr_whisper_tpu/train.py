@@ -144,6 +144,15 @@ class ModelTrainer:
                          output_dir: str) -> Dict[str, float]:
         tok = self.container.tokenizer
         mc = self.container.model_config
+        import jax
+
+        mesh = getattr(self, "_eval_mesh", None)
+        if mesh is None and len(jax.devices()) > 1:
+            from .parallel.mesh import make_mesh
+
+            # DP decode over every local chip (one process drives the mesh;
+            # the reference instead spreads eval over DDP ranks)
+            mesh = self._eval_mesh = make_mesh()
         preds, keys = [], []
         bs = self.cfg.training.per_device_eval_batch_size
         for batch in eval_batches(dataset, self.collator, bs,
@@ -157,7 +166,8 @@ class ModelTrainer:
                 batch["input_features"], batch["stno_mask"],
                 batch["attention_mask"], forced,
                 enroll_features=batch.get("enroll_features"),
-                enroll_stno=batch.get("enroll_stno"))
+                enroll_stno=batch.get("enroll_stno"),
+                mesh=mesh)
             preds.extend(list(out.sequences))
             labels = batch["labels"]
             for row in labels:
