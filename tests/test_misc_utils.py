@@ -84,3 +84,29 @@ def test_deprecated_decorator():
         warnings.simplefilter("always")
         assert old_fn() == 42
         assert any(issubclass(x.category, DeprecationWarning) for x in w)
+
+
+def test_condition_on_prev_rejected():
+    """Parity: the reference raises NotImplementedError for
+    condition_on_prev_tokens (generation.py:543-544); so do we at
+    generation-config build time."""
+    import pytest
+
+    from ts_asr_whisper_tpu.config import Cfg
+    from ts_asr_whisper_tpu.train import make_generation_config
+
+    class _MC:
+        decoder_start_token_id = 1
+        eos_token_id = 0
+        pad_token_id = 0
+        bos_token_id = 0
+        no_timestamps_token_id = 10
+
+    class _Container:
+        tokenizer = None
+        model_config = _MC()
+
+    cfg = Cfg()
+    cfg.decoding.condition_on_prev = True
+    with pytest.raises(NotImplementedError):
+        make_generation_config(_Container(), cfg)

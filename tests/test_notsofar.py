@@ -54,3 +54,45 @@ def test_load_data_and_cutset(tmp_path):
     some, _, _ = load_data(str(tmp_path),
                            session_query="meeting_id == 'MTG_001'")
     assert len(some) == 1
+
+
+def test_close_talk_concat(tmp_path):
+    """concat_speech_segments equivalent: GT spans are concatenated into a
+    new wav and the GT timings are shifted onto the concatenated timeline
+    (reference wer_utils.py:352-402)."""
+    from ts_asr_whisper_tpu.data.audio import load_audio
+
+    name = "MTG_CT"
+    d = tmp_path / name
+    d.mkdir(parents=True)
+    sr = 16000
+    rng = np.random.default_rng(1)
+    save_wav(str(d / "ct_head.wav"),
+             rng.standard_normal(2 * sr).astype(np.float32) * 0.1, sr)
+    with open(d / "devices.json", "w") as f:
+        json.dump([{"device_name": "head0", "is_close_talk": True,
+                    "is_mc": False, "wav_file_names": "ct_head.wav"}], f)
+    with open(d / "gt_transcription.json", "w") as f:
+        json.dump([
+            {"start_time": 0.25, "end_time": 0.75, "text": "hello",
+             "speaker_id": "alice", "ct_wav_file_name": "ct_head.wav",
+             "word_timing": [["hello", 0.25, 0.75]]},
+            {"start_time": 1.0, "end_time": 1.5, "text": "world",
+             "speaker_id": "alice", "ct_wav_file_name": "ct_head.wav",
+             "word_timing": [["world", 1.0, 1.5]]},
+        ], f)
+
+    out = tmp_path / "out"
+    sessions, gt, _ = load_data(str(tmp_path), return_close_talk=True,
+                                out_dir=str(out))
+    wavs = sessions.iloc[0]["wav_file_names"]
+    assert len(wavs) == 1 and "concat_close_talk" in wavs[0]
+    samples, sr2 = load_audio(wavs[0])
+    # concatenated wav = exactly the two 0.5 s spans back to back
+    assert sr2 == sr and samples.shape[-1] == sr  # 1.0 s total
+    # GT retimed: first span starts at 0, second right after the first
+    assert abs(gt.iloc[0]["start_time"] - 0.0) < 1e-9
+    assert abs(gt.iloc[0]["end_time"] - 0.5) < 1e-9
+    assert abs(gt.iloc[1]["start_time"] - 0.5) < 1e-9
+    assert abs(gt.iloc[1]["end_time"] - 1.0) < 1e-9
+    assert gt.iloc[1]["word_timing"] == [["world", 0.5, 1.0]]

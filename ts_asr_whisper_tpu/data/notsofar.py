@@ -14,6 +14,7 @@ import json
 from pathlib import Path
 from typing import Optional, Tuple
 
+import numpy as np
 import pandas as pd
 
 
@@ -23,6 +24,53 @@ def _process_query(session_query: str):
         query, n = session_query.split("###")
         return query.strip(), int(n)
     return session_query, None
+
+
+def concat_close_talk_segments(devices_df: pd.DataFrame,
+                               gt_utt_df: pd.DataFrame,
+                               meeting_dir: Path,
+                               out_dir: str,
+                               gap_sec: float = 0.0):
+    """Close-talk supervision prep (reference wer_utils.py:352-402): for each
+    close-talk wav, keep only its GT utterance spans, concatenate them (with
+    ``gap_sec`` of silence between spans) into a new wav under
+    ``<out_dir>/concat_close_talk/<meeting>/``, and shift the utterance
+    start/end/word timings in ``gt_utt_df`` (edited in place) onto the
+    concatenated timeline. Returns the new wav paths."""
+    from .audio import load_audio, save_wav
+
+    meeting_id = devices_df.meeting_id.unique().item()
+    assert gt_utt_df.meeting_id.unique().item() == meeting_id
+
+    new_paths = []
+    for wav_name in devices_df["wav_file_names"]:
+        utts = gt_utt_df[gt_utt_df["ct_wav_file_name"] == wav_name]
+        assert utts.start_time.is_monotonic_increasing
+        samples, sr = load_audio(str(meeting_dir / wav_name))
+        if samples.ndim == 2:  # (channels, n) -> close-talk mics are mono
+            samples = samples[0]
+        gap = np.zeros(int(gap_sec * sr), dtype=samples.dtype)
+
+        pieces = []
+        t_out = 0.0
+        for idx, utt in utts.iterrows():
+            span = samples[int(utt.start_time * sr): int(utt.end_time * sr)]
+            pieces.append(span)
+            pieces.append(gap)
+            shift = t_out - utt.start_time
+            gt_utt_df.at[idx, "start_time"] = utt.start_time + shift
+            gt_utt_df.at[idx, "end_time"] = utt.end_time + shift
+            if "word_timing" in gt_utt_df.columns:
+                gt_utt_df.at[idx, "word_timing"] = [
+                    [w, s + shift, e + shift] for w, s, e in utt.word_timing]
+            t_out += utt.end_time - utt.start_time + gap_sec
+
+        out_path = Path(out_dir) / "concat_close_talk" / meeting_id / wav_name
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        save_wav(str(out_path), np.concatenate(pieces) if pieces
+                 else samples[:0], sr)
+        new_paths.append(str(out_path))
+    return new_paths
 
 
 def load_data(meetings_dir: str, session_query: Optional[str] = None,
@@ -54,12 +102,20 @@ def load_data(meetings_dir: str, session_query: Optional[str] = None,
         if return_close_talk:
             devices_df = devices_df[devices_df.is_close_talk].copy()
             assert len(devices_df) > 0, "no close-talk devices found"
+            assert gt_utt_df is not None, "expecting GT transcription"
+            if out_dir:
+                # concatenate GT speech spans per close-talk mic and retime
+                # the GT onto the new timeline (wer_utils.py:284-296)
+                wavs = concat_close_talk_segments(
+                    devices_df, gt_utt_df, meeting_subdir, out_dir)
+            else:
+                wavs = [str(meeting_subdir / f.strip())
+                        for x in devices_df["wav_file_names"]
+                        for f in str(x).split(",")]
             devices_df = devices_df.iloc[0:1].copy()
             devices_df["device_name"] = "close_talk"
             devices_df["session_id"] = "close_talk/" + meeting_subdir.name
-            devices_df["wav_file_names"] = devices_df["wav_file_names"].apply(
-                lambda x: [str(meeting_subdir / f.strip())
-                           for f in str(x).split(",")])
+            devices_df["wav_file_names"] = [wavs]
         else:
             devices_df = devices_df[~devices_df.is_close_talk].copy()
             prefix = devices_df.is_mc.map(

@@ -51,6 +51,10 @@ def make_generation_config(container: WhisperContainer, cfg: Cfg,
         begin_suppress_tokens=(),
         max_initial_timestamp_index=None,
     )
+    if cfg.decoding.condition_on_prev:
+        # parity: the reference rejects this too (generation.py:543-544)
+        raise NotImplementedError(
+            "condition_on_prev is not supported (matches the reference)")
     gen_json = None
     model_dir = Path(cfg.model.whisper_model)
     if model_dir.exists() and (model_dir / "generation_config.json").exists():
