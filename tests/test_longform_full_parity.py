@@ -76,11 +76,11 @@ class MockWhisperTok:
         return [self.decode(r, **kw) for r in batch]
 
 
-def _make_pair(ctc_weight=0.0, seed=11):
+def _make_pair(ctc_weight=0.0, seed=11, **extra_kw):
     torch.manual_seed(seed)
-    extra = {}
+    extra = dict(extra_kw)
     if ctc_weight > 0:
-        extra = dict(additional_self_attention_layer=True,
+        extra.update(additional_self_attention_layer=True,
                      pre_ctc_sub_sample=True)
     ref_cfg = RefConfig(**BASE_KW, ctc_weight=ctc_weight, use_fddt=True,
                         use_pre_pos_fddt=True, fddt_init="random", **extra)
@@ -99,7 +99,7 @@ def setup():
 
 
 def _ref_generate(ref, feats, stno, attn, num_beams=1, ctc_weight=0.0,
-                  length_penalty=1.0):
+                  length_penalty=1.0, enrollments=None):
     from transformers import GenerationConfig as HFGenConfig
 
     gc = HFGenConfig(
@@ -128,6 +128,11 @@ def _ref_generate(ref, feats, stno, attn, num_beams=1, ctc_weight=0.0,
     # self.generation_config (update_generation_config mutates it in the
     # real pipeline, general.py:19-37)
     ref.generation_config = gc
+    extra = {}
+    if enrollments is not None:
+        extra["enrollments"] = {
+            "input_features": torch.tensor(enrollments[0]),
+            "stno_mask": torch.tensor(enrollments[1])}
     with torch.no_grad():
         out = ref.generate(
             input_features=torch.tensor(feats),
@@ -136,6 +141,7 @@ def _ref_generate(ref, feats, stno, attn, num_beams=1, ctc_weight=0.0,
             forced_decoder_ids=forced,
             language="en",
             task="transcribe",
+            **extra,
         )
     return np.asarray(out)
 
@@ -296,3 +302,40 @@ def test_longform_full_parity_ragged_lengths(rng):
         assert _strip(ours.sequences[b]) == _strip(ref_out[b]), (
             f"row {b}\nours {_strip(ours.sequences[b])}"
             f"\nref  {_strip(ref_out[b])}")
+
+
+def test_longform_full_parity_se_dicow(rng):
+    """SE-DiCoW (enrollment cross-attention) through the reference's full
+    generate(): the fixed 30 s enrollment window rides every seek window."""
+    ref, cfg, params = _make_pair(seed=17, use_enrollments=True, scb_layers=2)
+    n_win = 2
+    t_total = 96 * n_win
+    feats = (rng.standard_normal((2, 24, t_total)) * 0.5).astype(np.float32)
+    raw = rng.random((2, 4, t_total // 2)).astype(np.float32)
+    stno = raw / raw.sum(axis=1, keepdims=True)
+    attn = np.ones((2, t_total), dtype=np.int64)
+    e_rng = np.random.default_rng(23)
+    e_feats = (e_rng.standard_normal((2, 24, 96)) * 0.5).astype(np.float32)
+    e_raw = e_rng.random((2, 4, 48)).astype(np.float32)
+    e_stno = e_raw / e_raw.sum(axis=1, keepdims=True)
+
+    try:
+        ref_out = _ref_generate(ref, feats, stno, attn,
+                                enrollments=(e_feats, e_stno))
+    except Exception as e:
+        pytest.skip(f"reference generate() not drivable: "
+                    f"{type(e).__name__}: {e}")
+
+    gen_cfg = GenerationConfig(
+        eos_token_id=EOS, pad_token_id=EOS, bos_token_id=EOS,
+        decoder_start_token_id=SOT, no_timestamps_token_id=NO_TS,
+        return_timestamps=True, max_length=80, suppress_tokens=(),
+        begin_suppress_tokens=())
+    prompts = np.array([[SOT, LANG, TASK]] * 2, dtype=np.int32)
+    ours = longform_generate(params, cfg, gen_cfg, feats, stno, attn,
+                             prompts, enroll_features=e_feats,
+                             enroll_stno=e_stno)
+    for b in range(2):
+        assert _strip(ours.sequences[b]) == _strip(ref_out[b]), (
+            f"row {b}:\nours {_strip(ours.sequences[b])}\n"
+            f"ref  {_strip(ref_out[b])}")
