@@ -339,3 +339,43 @@ def test_longform_full_parity_se_dicow(rng):
         assert _strip(ours.sequences[b]) == _strip(ref_out[b]), (
             f"row {b}:\nours {_strip(ours.sequences[b])}\n"
             f"ref  {_strip(ref_out[b])}")
+
+
+def test_longform_full_parity_se_dicow_ragged(rng):
+    """SE-DiCoW with ragged row lengths: the compaction's per-bucket
+    enrollment gather must track the reference's batch_idx_map reindexing
+    (generation.py:108-110) token-for-token."""
+    ref, cfg, params = _make_pair(seed=19, use_enrollments=True, scb_layers=1)
+    t_total = 96 * 3
+    feats = (rng.standard_normal((3, 24, t_total)) * 0.5).astype(np.float32)
+    raw = rng.random((3, 4, t_total // 2)).astype(np.float32)
+    stno = raw / raw.sum(axis=1, keepdims=True)
+    attn = np.zeros((3, t_total), dtype=np.int64)
+    attn[0, :] = 1
+    attn[1, : 96 * 1] = 1
+    attn[2, : 96 * 2 + 40] = 1
+    e_rng = np.random.default_rng(29)
+    e_feats = (e_rng.standard_normal((3, 24, 96)) * 0.5).astype(np.float32)
+    e_raw = e_rng.random((3, 4, 48)).astype(np.float32)
+    e_stno = e_raw / e_raw.sum(axis=1, keepdims=True)
+
+    try:
+        ref_out = _ref_generate(ref, feats, stno, attn,
+                                enrollments=(e_feats, e_stno))
+    except Exception as e:
+        pytest.skip(f"reference generate() not drivable: "
+                    f"{type(e).__name__}: {e}")
+
+    gen_cfg = GenerationConfig(
+        eos_token_id=EOS, pad_token_id=EOS, bos_token_id=EOS,
+        decoder_start_token_id=SOT, no_timestamps_token_id=NO_TS,
+        return_timestamps=True, max_length=80, suppress_tokens=(),
+        begin_suppress_tokens=())
+    prompts = np.array([[SOT, LANG, TASK]] * 3, dtype=np.int32)
+    ours = longform_generate(params, cfg, gen_cfg, feats, stno, attn,
+                             prompts, enroll_features=e_feats,
+                             enroll_stno=e_stno)
+    for b in range(3):
+        assert _strip(ours.sequences[b]) == _strip(ref_out[b]), (
+            f"row {b}\nours {_strip(ours.sequences[b])}"
+            f"\nref  {_strip(ref_out[b])}")
