@@ -49,7 +49,7 @@ def test_first_step_parity(logp):
     ref_psi, ref_r = _ref_step(logp, y, cs, decoded_len, np.asarray(r0))
 
     psi, states = ctc_prefix_scores(
-        jnp.asarray(logp), jnp.arange(B), jnp.asarray(cs), r0,
+        jnp.swapaxes(jnp.asarray(logp), 1, 2), jnp.arange(B), jnp.asarray(cs), r0,
         jnp.asarray(decoded_len), jnp.full((B,), BLANK), BLANK, EOS)
     np.testing.assert_allclose(np.asarray(psi), ref_psi, atol=1e-4, rtol=1e-4)
     # states: ref (B, T, 2, K) vs ours (B, K, T, 2)
@@ -68,7 +68,7 @@ def test_second_step_parity_with_label_repeat(logp):
 
     ref_psi1, ref_r1 = _ref_step(logp, y1, cs1, dl1, np.asarray(r0))
     psi1, states1 = ctc_prefix_scores(
-        jnp.asarray(logp), jnp.arange(B), jnp.asarray(cs1), r0,
+        jnp.swapaxes(jnp.asarray(logp), 1, 2), jnp.arange(B), jnp.asarray(cs1), r0,
         jnp.asarray(dl1), jnp.full((B,), BLANK), BLANK, EOS)
 
     # choose token index 0 for row 0 (id 1) and index 1 for row 1 (id 4)
@@ -90,7 +90,7 @@ def test_second_step_parity_with_label_repeat(logp):
 
     ref_psi2, _ = _ref_step(logp, y2, cs2, dl2, ref_rprev)
     psi2, _ = ctc_prefix_scores(
-        jnp.asarray(logp), jnp.arange(B), jnp.asarray(cs2),
+        jnp.swapaxes(jnp.asarray(logp), 1, 2), jnp.arange(B), jnp.asarray(cs2),
         jnp.asarray(ours_rprev), jnp.asarray(dl2),
         jnp.asarray(chosen_ids.astype(np.int32)), BLANK, EOS)
     np.testing.assert_allclose(np.asarray(psi2), ref_psi2,
@@ -106,7 +106,7 @@ def test_beam_sharing_logp(logp):
     r_prev = r0[np.asarray(audio_idx)]
     cs = np.tile(np.array([[1, 2, 3, EOS, 7, 8]]), (bb, 1)).astype(np.int64)
     psi, _ = ctc_prefix_scores(
-        jnp.asarray(logp), audio_idx, jnp.asarray(cs), r_prev,
+        jnp.swapaxes(jnp.asarray(logp), 1, 2), audio_idx, jnp.asarray(cs), r_prev,
         jnp.zeros(bb, jnp.int32), jnp.full((bb,), BLANK), BLANK, EOS)
     psi = np.asarray(psi)
     for b in range(B):

@@ -37,13 +37,13 @@ from ..ops.ctc_prefix import (
 
 
 class CTCState(NamedTuple):
-    logp: jax.Array          # (B_audio, T, V) case-folded log-probs
+    logp_vt: jax.Array       # (B_audio, V, T) case-folded log-probs
     audio_idx: jax.Array     # (Bb,) hypothesis -> audio row
     r_prev: jax.Array        # (Bb, T, 2)
     score_prev: jax.Array    # (Bb,)
     cand_ids: jax.Array      # (Bb, K) last step's scored candidates
-    cand_states: jax.Array   # (Bb, K, T, 2)
-    cand_scores: jax.Array   # (Bb, K) psi of candidates
+    decoded_len: jax.Array   # (Bb,) prefix stats captured at rescore time
+    last_label: jax.Array    # (Bb,)
 
 
 def init_ctc_state(enc_logits: jax.Array, blank: int,
@@ -63,13 +63,13 @@ def init_ctc_state(enc_logits: jax.Array, blank: int,
     audio_idx = jnp.arange(bb) // num_beams
     r0, s0 = initial_ctc_state(logp, blank)
     return CTCState(
-        logp=logp,
+        logp_vt=jnp.swapaxes(logp, 1, 2),
         audio_idx=audio_idx,
         r_prev=r0[audio_idx],
         score_prev=jnp.zeros((bb,), jnp.float32),
         cand_ids=jnp.zeros((bb, k), jnp.int32),
-        cand_states=jnp.full((bb, k, t_len, 2), LOG_ZERO, jnp.float32),
-        cand_scores=jnp.full((bb, k), LOG_ZERO, jnp.float32),
+        decoded_len=jnp.zeros((bb,), jnp.int32),
+        last_label=jnp.full((bb,), blank, jnp.int32),
     )
 
 
@@ -120,9 +120,14 @@ class CTCRescorer:
         cand_ids = cand_ids.at[:, self.k - 1].set(
             jnp.where(has_eos, cand_ids[:, self.k - 1], self.eos_id))
 
-        log_psi, new_states = ctc_prefix_scores(
-            state.logp, state.audio_idx, cand_ids, state.r_prev,
-            decoded_len, last_label, self.blank_id, self.eos_id)
+        # log_psi comes from the closed form alone — the O(K·T) alpha
+        # recursion is deferred to update_state, which runs it only for the
+        # single chosen token (the reference materializes states for all K
+        # candidates every step, decoding.py:309-338)
+        log_psi, _ = ctc_prefix_scores(
+            state.logp_vt, state.audio_idx, cand_ids, state.r_prev,
+            decoded_len, last_label, self.blank_id, self.eos_id,
+            with_states=False)
 
         # scatter psi back over the decoder vocab; unscored tokens at -inf
         tmp = jnp.full((bb, v_dec), LOG_ZERO, jnp.float32)
@@ -138,8 +143,8 @@ class CTCRescorer:
         fused = (1.0 - self.ctc_weight) * scores + self.ctc_weight * ctc_scores
 
         new_state = state._replace(cand_ids=cand_ids,
-                                   cand_states=new_states,
-                                   cand_scores=log_psi)
+                                   decoded_len=decoded_len,
+                                   last_label=last_label)
         return fused, new_state
 
     def update_state(self, state: CTCState, next_tokens: jax.Array,
@@ -151,23 +156,25 @@ class CTCRescorer:
         r_prev = state.r_prev[beam_idx]
         score_prev = state.score_prev[beam_idx]
         cand_ids = state.cand_ids[beam_idx]
-        cand_states = state.cand_states[beam_idx]
-        cand_scores = state.cand_scores[beam_idx]
+        decoded_len = state.decoded_len[beam_idx]
+        last_label = state.last_label[beam_idx]
 
-        # locate the chosen token among the scored candidates
-        matches = cand_ids == next_tokens[:, None]
-        found = matches.any(axis=1)
-        pos = jnp.argmax(matches, axis=1)
-        chosen_state = jnp.take_along_axis(
-            cand_states, pos[:, None, None, None], axis=1)[:, 0]
-        chosen_score = jnp.take_along_axis(
-            cand_scores, pos[:, None], axis=1)[:, 0]
+        # alpha recursion for the single chosen token (same formula that
+        # produced its rescore psi, so values match the gathered candidate)
+        chosen_score, chosen_state = ctc_prefix_scores(
+            state.logp_vt, state.audio_idx[beam_idx],
+            next_tokens[:, None].astype(jnp.int32), r_prev,
+            decoded_len, last_label, self.blank_id, self.eos_id)
+        chosen_score = chosen_score[:, 0]
+        chosen_state = chosen_state[:, 0]
 
         # tokens < <|0.00|> advance the state; timestamps keep the old one
         # (reference update_state mask: best_ids < first_timestamp_token_id)
+        found = (cand_ids == next_tokens[:, None]).any(axis=1)
         advance = (next_tokens < self.timestamp_begin) & found
         new_r = jnp.where(advance[:, None, None], chosen_state, r_prev)
         new_score = jnp.where(advance, chosen_score, score_prev)
         return state._replace(r_prev=new_r, score_prev=new_score,
-                              cand_ids=cand_ids, cand_states=cand_states,
-                              cand_scores=cand_scores)
+                              cand_ids=cand_ids,
+                              decoded_len=decoded_len,
+                              last_label=last_label)

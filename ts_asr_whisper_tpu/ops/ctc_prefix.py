@@ -4,8 +4,9 @@ re-derived for static shapes under jit.
 The reference implementation (/root/reference/src/models/dicow/decoding.py:
 8-163) mutates preallocated tensors with data-dependent resizing and a
 Python loop ``for t in range(start.min(), T)``. Here the alpha recursion is
-one ``lax.scan`` over frames with per-hypothesis masking (``decoded_len``),
-and the prefix probability log(psi) is computed in closed form from the
+a log-depth ``lax.associative_scan`` of composed log-semiring affine maps
+with per-hypothesis masking (``decoded_len``), and the prefix probability
+log(psi) is computed in closed form from the
 phi/xs tensors — no dynamic shapes anywhere, so the scorer nests inside the
 greedy/beam ``while_loop``.
 
@@ -40,7 +41,10 @@ def initial_ctc_state(logp: jax.Array, blank: int) -> Tuple[jax.Array, jax.Array
 
 
 def ctc_prefix_scores(
-    logp: jax.Array,        # (B_audio, T, V) case-folded log-probs
+    logp_vt: jax.Array,     # (B_audio, V, T) case-folded log-probs,
+                            # vocab-major so candidate gathers read
+                            # contiguous T-rows (17x faster than a (B,T,V)
+                            # gather on TPU)
     audio_idx: jax.Array,   # (Bb,) hypothesis -> audio row
     cand_ids: jax.Array,    # (Bb, K) candidate next tokens
     r_prev: jax.Array,      # (Bb, T, 2) prefix state
@@ -48,15 +52,21 @@ def ctc_prefix_scores(
     last_label: jax.Array,  # (Bb,) last non-timestamp label (blank if none)
     blank: int,
     eos: int,
+    with_states: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (log_psi (Bb, K), new_states (Bb, K, T, 2))."""
+    """Returns (log_psi (Bb, K), new_states (Bb, K, T, 2)); with
+    ``with_states=False`` skips the alpha recursion (log_psi alone is the
+    closed form) and returns None states."""
     bb, k = cand_ids.shape
-    t_len = logp.shape[1]
+    t_len = logp_vt.shape[2]
 
-    lp = logp[audio_idx]                                   # (Bb, T, V)
-    xs = jnp.take_along_axis(
-        lp, cand_ids[:, None, :].astype(jnp.int32), axis=2)  # (Bb, T, K)
-    x_blank = lp[..., blank]                               # (Bb, T)
+    # gather contiguous T-rows per candidate — expanding to (Bb, T, V)
+    # first would materialize GBs at beam-search scale, and a time-major
+    # gather strides by V (measured 101 ms vs 5.9 ms at beam-5 scale)
+    xs = jnp.swapaxes(
+        logp_vt[audio_idx[:, None], cand_ids.astype(jnp.int32)],
+        1, 2)                                               # (Bb, T, K)
+    x_blank = logp_vt[audio_idx, blank]                     # (Bb, T)
 
     # phi[b,t,k]: forward mass of prefix g usable before emitting c at t+1;
     # when c == last label, only the blank-ending path counts
@@ -74,28 +84,56 @@ def ctc_prefix_scores(
     log_psi = _logaddexp(init_term,
                          jax.nn.logsumexp(summand, axis=1))  # (Bb, K)
 
-    # --- alpha recursion for the new states (scan over frames) ---
+    if not with_states:
+        log_psi = jnp.where(cand_ids == eos, r_sum[:, -1][:, None], log_psi)
+        if eos != blank:
+            log_psi = jnp.where(cand_ids == blank, LOG_ZERO, log_psi)
+        return log_psi, None
+
+    # --- alpha recursion for the new states ---
+    # The recurrence
+    #     r_n[t] = (r_n[t-1] (+) phi[t-1]) * xs[t]
+    #     r_b[t] = (r_n[t-1] (+) r_b[t-1]) * xb[t]
+    # ((+) = logaddexp, * = +) is an affine map of [r_n, r_b] in the log
+    # semiring: s[t] = A[t] (x) s[t-1] (+) c[t] with
+    #     A[t] = [[xs[t], -inf], [xb[t], xb[t]]],  c[t] = [phi[t-1]+xs[t], -inf]
+    # so the T-1 sequential steps become a log-depth associative_scan over
+    # composed affine maps — the decisive latency win inside the per-token
+    # beam loop (the reference runs the same recursion as a Python loop over
+    # frames, decoding.py:106-163). The upper-right entry of A stays -inf
+    # under composition, so each map is 5 planes: m00, m10, m11, c0, c1.
     r_n0 = jnp.where((decoded_len == 0)[:, None], xs[:, 0], LOG_ZERO)
     r_b0 = jnp.full((bb, k), LOG_ZERO)
     valid0 = (decoded_len <= 0)[:, None]
     r_n0 = jnp.where(valid0, r_n0, LOG_ZERO)
 
-    def step(carry, inputs):
-        r_n, r_b = carry
-        t, xs_t, xb_t, phi_tm1 = inputs
-        new_n = _logaddexp(r_n, phi_tm1) + xs_t
-        new_b = _logaddexp(r_n, r_b) + xb_t[:, None]
-        valid = (decoded_len <= t)[:, None]
-        new_n = jnp.where(valid, new_n, LOG_ZERO)
-        new_b = jnp.where(valid, new_b, LOG_ZERO)
-        return (new_n, new_b), (new_n, new_b)
-
     ts = jnp.arange(1, t_len)
-    (_, _), (rs_n, rs_b) = jax.lax.scan(
-        step, (r_n0, r_b0),
-        (ts, jnp.swapaxes(xs[:, 1:], 0, 1),
-         jnp.swapaxes(x_blank[:, 1:], 0, 1),
-         jnp.swapaxes(phi[:, :-1], 0, 1)))
+    valid = (decoded_len[None, :] <= ts[:, None])[..., None]  # (T-1, Bb, 1)
+    xs_t = jnp.moveaxis(xs[:, 1:], 1, 0)                      # (T-1, Bb, K)
+    xb_t = jnp.broadcast_to(
+        jnp.moveaxis(x_blank[:, 1:], 1, 0)[..., None], xs_t.shape)
+    phi_tm1 = jnp.moveaxis(phi[:, :-1], 1, 0)
+
+    m00 = jnp.where(valid, xs_t, LOG_ZERO)
+    m10 = jnp.where(valid, xb_t, LOG_ZERO)
+    m11 = m10
+    c0 = jnp.where(valid, phi_tm1 + xs_t, LOG_ZERO)
+    c1 = jnp.full_like(c0, LOG_ZERO)
+
+    def combine(x, y):
+        # y is the later map: out = y ∘ x
+        x00, x10, x11, xc0, xc1 = x
+        y00, y10, y11, yc0, yc1 = y
+        return (y00 + x00,
+                _logaddexp(y10 + x00, y11 + x10),
+                y11 + x11,
+                _logaddexp(y00 + xc0, yc0),
+                _logaddexp(_logaddexp(y10 + xc0, y11 + xc1), yc1))
+
+    p00, p10, _, pc0, pc1 = jax.lax.associative_scan(
+        combine, (m00, m10, m11, c0, c1), axis=0)
+    rs_n = _logaddexp(p00 + r_n0[None], pc0)                  # (T-1, Bb, K)
+    rs_b = _logaddexp(p10 + r_n0[None], pc1)
     # assemble (Bb, K, T, 2)
     r_n_all = jnp.concatenate([r_n0[None], rs_n], axis=0)  # (T, Bb, K)
     r_b_all = jnp.concatenate([r_b0[None], rs_b], axis=0)
