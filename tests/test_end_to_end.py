@@ -273,3 +273,36 @@ def test_cli_main_decode_only(corpus, tmp_path, monkeypatch):
     metrics = cli.main(_base_overrides(corpus, out_dir)
                        + ["training.decode_only=true"])
     assert any(k.endswith("tcp_wer") for k in metrics)
+
+
+def test_auto_find_batch_size_halves_on_oom(corpus, tmp_path, monkeypatch):
+    """First Trainer.train raises a simulated OOM: the retry must halve the
+    per-device batch, double grad accumulation (global batch preserved,
+    reference trainers.py:141-168) and complete training."""
+    from ts_asr_whisper_tpu import train as train_mod
+    from ts_asr_whisper_tpu.train import ModelTrainer
+
+    calls = {"n": 0}
+    orig = train_mod.Trainer.train
+
+    def flaky(self, it):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError(
+                "RESOURCE_EXHAUSTED: Out of memory while trying to allocate")
+        return orig(self, it)
+
+    monkeypatch.setattr(train_mod.Trainer, "train", flaky)
+    out_dir = tmp_path / "oom"
+    cfg = load_config(_base_overrides(corpus, out_dir) + [
+        "training.max_steps=1",
+        "training.auto_find_batch_size=true",
+    ], n_devices=1)
+    cfg.training.mesh_shape = [1]
+    assert cfg.training.per_device_train_batch_size == 2
+    trainer = ModelTrainer(cfg)
+    metrics = trainer.train()
+    assert calls["n"] == 1
+    assert cfg.training.per_device_train_batch_size == 1
+    assert cfg.training.gradient_accumulation_steps == 2
+    assert any(k.endswith("tcp_wer") for k in metrics)

@@ -310,12 +310,32 @@ def test_needs_fallback_checks():
 
     gc = GenerationConfig(logprob_threshold=-1.0,
                           compression_ratio_threshold=2.4)
+    V = 1700
     # low avg logprob -> fallback
-    assert _needs_fallback(np.array([5, 6, 7]), -2.0, gc)
+    assert _needs_fallback(np.array([5, 6, 7]), -2.0, gc, V)
     # fine logprob, incompressible tokens -> no fallback
-    assert not _needs_fallback(np.arange(50), -0.5, gc)
+    assert not _needs_fallback(np.arange(50) * 31 % 1690, -0.5, gc, V)
     # hugely repetitive tokens -> compression ratio fires
-    assert _needs_fallback(np.array([7] * 400), -0.5, gc)
+    assert _needs_fallback(np.array([7] * 400), -0.5, gc, V)
+
+
+def test_compression_ratio_matches_hf():
+    """Byte-exact vs HF _retrieve_compression_ratio (token bytes, not text)."""
+    torch = pytest.importorskip("torch")
+    from transformers.models.whisper.generation_whisper import (
+        WhisperGenerationMixin,
+    )
+
+    from ts_asr_whisper_tpu.decoding.longform import compression_ratio
+
+    rng = np.random.default_rng(3)
+    for v in (1700, 51866):
+        for toks in (rng.integers(0, v, size=37),
+                     np.array([9] * 123),
+                     np.array([50257])):
+            ref = WhisperGenerationMixin._retrieve_compression_ratio(
+                torch.tensor(toks), v)
+            assert compression_ratio(toks, v) == pytest.approx(float(ref))
 
 
 def test_longform_mesh_dp_matches_unsharded(rng):

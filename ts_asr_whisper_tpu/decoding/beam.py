@@ -37,7 +37,13 @@ NEG = -1e9
 class BeamOutput(NamedTuple):
     sequences: jax.Array      # (B, total_len) best finished beam
     lengths: jax.Array        # (B,)
-    scores: jax.Array         # (B,) length-penalized scores
+    scores: jax.Array         # (B,) length-penalized scores (HF
+    #                           sequences_scores; used directly as the
+    #                           logprob-threshold value in fallback checks,
+    #                           matching HF _need_fallback's beam branch)
+    no_speech_probs: jax.Array  # (B,) P(no-speech token) at the begin step
+    #                           (HF WhisperNoSpeechDetection: softmax of the
+    #                           raw prefill logits, identical in greedy/beam)
 
 
 @partial(jax.jit, static_argnames=("cfg", "gen_cfg", "max_new_tokens",
@@ -83,6 +89,9 @@ def beam_search(
                                    tokens.reshape(bb, total_len)[:, :prompt_len],
                                    0, cache, cross_kv)
     logits0 = lm_logits(dec, hidden[:, -1]).astype(jnp.float32)
+    no_speech_token = gen_cfg.no_timestamps_token_id - 1
+    no_speech_probs = jax.nn.softmax(
+        logits0.reshape(b, n, vocab)[:, 0], axis=-1)[:, no_speech_token]
 
     running_scores = jnp.full((b, n), NEG)
     running_scores = running_scores.at[:, 0].set(0.0)
@@ -216,4 +225,4 @@ def beam_search(
     score_fin = jnp.take_along_axis(final.fin_scores, pick[:, None], axis=1)[:, 0]
     score_run = jnp.take_along_axis(run_penalized, pick[:, None], axis=1)[:, 0]
     scores = jnp.where(pick_from_run, score_run, score_fin)
-    return BeamOutput(sequences, lengths, scores)
+    return BeamOutput(sequences, lengths, scores, no_speech_probs)

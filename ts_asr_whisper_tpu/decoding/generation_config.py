@@ -55,9 +55,15 @@ class GenerationConfig:
                    "eos_token_id", "pad_token_id", "bos_token_id",
                    "no_timestamps_token_id", "prev_sot_token_id",
                    "return_timestamps", "max_initial_timestamp_index",
-                   "ctc_weight", "ctc_margin", "is_multilingual"):
+                   "ctc_weight", "ctc_margin", "is_multilingual",
+                   "no_speech_threshold", "logprob_threshold",
+                   "compression_ratio_threshold"):
             if raw.get(f_) is not None:
                 kw[f_] = raw[f_]
+        if raw.get("temperature") is not None:
+            t = raw["temperature"]
+            kw["temperature"] = tuple(t) if isinstance(t, (list, tuple)) \
+                else (t,)
         if raw.get("suppress_tokens"):
             kw["suppress_tokens"] = tuple(raw["suppress_tokens"])
         if raw.get("begin_suppress_tokens"):

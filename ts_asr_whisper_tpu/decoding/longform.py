@@ -215,22 +215,29 @@ def fix_timestamps_from_segmentation(
 
 
 
-def _needs_fallback(tokens, avg_logprob, gen_cfg: GenerationConfig,
-                    tokenizer=None) -> bool:
-    """HF generate_with_fallback quality checks: high zlib compression ratio
-    (repetition) or low average logprob triggers a re-decode at the next
-    temperature."""
+def compression_ratio(tokens, vocab_size: int) -> float:
+    """HF WhisperGenerationMixin._retrieve_compression_ratio: zlib ratio over
+    fixed-width little-endian token bytes (width = int(log2(V)/8)+1). The
+    reference's fallback checks run on token bytes, not decoded text."""
+    import math
     import zlib
 
+    width = int(math.log2(vocab_size) / 8) + 1
+    data = b"".join(int(t).to_bytes(width, "little") for t in tokens)
+    return len(data) / len(zlib.compress(data))
+
+
+def _needs_fallback(tokens, avg_logprob, gen_cfg: GenerationConfig,
+                    vocab_size: int) -> bool:
+    """HF generate_with_fallback quality checks (_need_fallback): high zlib
+    compression ratio (repetition) or low average logprob triggers a
+    re-decode at the next temperature."""
     if gen_cfg.compression_ratio_threshold is not None and len(tokens):
-        if tokenizer is not None:
-            data = tokenizer.decode(tokens, skip_special_tokens=True).encode()
-        else:
-            data = np.asarray(tokens, np.int32).tobytes()
-        if len(data) and len(data) / max(
-                len(zlib.compress(data)), 1) > gen_cfg.compression_ratio_threshold:
+        if compression_ratio(tokens, vocab_size) \
+                > gen_cfg.compression_ratio_threshold:
             return True
-    if gen_cfg.logprob_threshold is not None             and avg_logprob < gen_cfg.logprob_threshold:
+    if gen_cfg.logprob_threshold is not None \
+            and avg_logprob < gen_cfg.logprob_threshold:
         return True
     return False
 
@@ -278,7 +285,6 @@ def longform_generate(
     return_segments: bool = False,
     upper_to_lower: Optional[np.ndarray] = None,  # (2, n) case-fold map
     detect_lang: bool = False,  # fill forced_decoder_ids[:,1] by detection
-    tokenizer=None,  # optional: text-level compression-ratio fallback check
     mesh=None,  # optional jax.sharding.Mesh with a "data" axis: DP decode
 ):
     """Batched long-form transcription. Returns LongformOutput whose
@@ -419,7 +425,7 @@ def longform_generate(
         bucket_len = np.asarray(out.lengths)
         seen_rows = set()
         bucket_extra = {}
-        for name in ("no_speech_probs", "sum_logprobs"):
+        for name in ("no_speech_probs", "sum_logprobs", "scores"):
             if hasattr(out, name):
                 bucket_extra[name] = np.asarray(getattr(out, name))
         full_extra = {name: np.zeros(b, dtype=np.float64)
@@ -433,33 +439,67 @@ def longform_generate(
             for name, arr in bucket_extra.items():
                 full_extra[name][i] = arr[j]
 
+        # per-row logprob value for the quality checks (HF _need_fallback):
+        # beam mode uses sequences_scores (length-penalized) directly;
+        # greedy mode averages the chosen-token logprobs over gen length
+        if "scores" in full_extra:
+            avg_lp = full_extra["scores"].copy()
+        elif "sum_logprobs" in full_extra:
+            avg_lp = full_extra["sum_logprobs"] \
+                / np.maximum(lengths - prompt_len, 1)
+        else:
+            avg_lp = np.zeros(b, dtype=np.float64)
+
+        def _skip_mask() -> np.ndarray:
+            # no-speech skip (HF _need_fallback): silence iff the begin-step
+            # no-speech prob exceeds the threshold AND the decode is
+            # low-confidence; HF requires both thresholds set
+            if (gen_cfg.no_speech_threshold is None
+                    or gen_cfg.logprob_threshold is None
+                    or "no_speech_probs" not in full_extra):
+                return np.zeros(b, dtype=bool)
+            ns = full_extra["no_speech_probs"]
+            return ((ns > gen_cfg.no_speech_threshold)
+                    & (avg_lp < gen_cfg.logprob_threshold))
+
         # temperature fallback (generate_with_fallback): rows failing the
-        # quality checks re-decode at successive temperatures with sampling;
-        # the whole bucket re-runs (fallback is rare) and only failing rows
-        # take the new result
+        # quality checks re-decode at successive temperatures; HF forces
+        # num_beams=1 + sampling for temperature>0 retries, so retries are
+        # sampled greedy even when the first pass was beam search. The whole
+        # bucket re-runs (fallback is rare) and only failing rows take the
+        # new result. Rows meeting the no-speech skip condition never fall
+        # back (HF clears needs_fallback for them).
         temps = tuple(gen_cfg.temperature or (0.0,))
         if len(temps) > 1 and (gen_cfg.logprob_threshold is not None
                                or gen_cfg.compression_ratio_threshold
                                is not None):
+            ctc_state_retry = ctc_state
+            if ctc_scorer is not None and gen_cfg.num_beams > 1:
+                # retries are single-hypothesis: fresh per-row CTC state
+                ctc_state_retry = init_ctc_state(
+                    enc_logits, blank, upper_to_lower, num_beams=1,
+                    k=ctc_scorer.k)
             for t_i, temp in enumerate(temps[1:], start=1):
+                skip_now = _skip_mask()
                 needs = np.zeros(b, dtype=bool)
                 for i in np.unique(rows):
-                    gen_len = max(int(lengths[i]) - prompt_len, 1)
-                    avg_lp = full_extra.get("sum_logprobs",
-                                            np.zeros(b))[i] / gen_len
+                    if skip_now[i]:
+                        continue
                     seq_i = sequences[i, prompt_len: int(lengths[i])]
-                    needs[i] = _needs_fallback(seq_i, avg_lp, gen_cfg,
-                                               tokenizer)
+                    needs[i] = _needs_fallback(seq_i, avg_lp[i], gen_cfg,
+                                               cfg.vocab_size)
                 if not needs.any():
                     break
                 retry = greedy_decode(
                     params, cfg, gen_cfg, enc, _dev(forced_rows),
-                    max_new, ctc_scorer=ctc_scorer, ctc_state=ctc_state,
+                    max_new, ctc_scorer=ctc_scorer,
+                    ctc_state=ctc_state_retry,
                     temperature=float(temp),
                     rng_key=jax.random.PRNGKey(int(seek.sum()) + t_i))
                 r_seq = np.asarray(retry.sequences)
                 r_len = np.asarray(retry.lengths)
                 r_lp = np.asarray(retry.sum_logprobs)
+                r_ns = np.asarray(retry.no_speech_probs)
                 seen = set()
                 for j, i in enumerate(rows):
                     if i in seen:
@@ -468,22 +508,12 @@ def longform_generate(
                     if needs[i]:
                         sequences[i, : r_seq.shape[1]] = r_seq[j]
                         lengths[i] = r_len[j]
-                        if "sum_logprobs" in full_extra:
-                            full_extra["sum_logprobs"][i] = r_lp[j]
+                        avg_lp[i] = r_lp[j] / max(int(r_len[j]) - prompt_len,
+                                                  1)
+                        if "no_speech_probs" in full_extra:
+                            full_extra["no_speech_probs"][i] = r_ns[j]
 
-        # no-speech skip (HF generate_with_fallback semantics): a window
-        # whose no-speech prob exceeds the threshold while the decode is
-        # low-confidence is treated as silence and skipped whole
-        skip_silence = np.zeros(b, dtype=bool)
-        if (gen_cfg.no_speech_threshold is not None
-                and "no_speech_probs" in full_extra):
-            ns = full_extra["no_speech_probs"]
-            skip_silence = ns > gen_cfg.no_speech_threshold
-            if gen_cfg.logprob_threshold is not None \
-                    and "sum_logprobs" in full_extra:
-                gen_lens = np.maximum(lengths - prompt_len, 1)
-                avg_lp = full_extra["sum_logprobs"] / gen_lens
-                skip_silence &= avg_lp < gen_cfg.logprob_threshold
+        skip_silence = _skip_mask()
 
         for i in range(b):
             if not active[i]:

@@ -116,6 +116,11 @@ def dicow_encoder_forward(
     """
     dtype = cfg.compute_dtype
     use_streams = cfg.use_enrollments and enroll_features is not None
+    if use_streams and not cfg.scb_layers:
+        raise ValueError(
+            "enroll_features provided with use_enrollments=True but "
+            "scb_layers is 0/None — the enrollment stream would never be "
+            "fused or dropped (set scb_layers>0 or omit enrollments)")
     if use_streams:
         input_features = jnp.stack([input_features, enroll_features], axis=1)
         stno_mask = jnp.stack([stno_mask, enroll_stno], axis=1)

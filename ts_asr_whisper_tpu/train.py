@@ -60,7 +60,15 @@ def make_generation_config(container: WhisperContainer, cfg: Cfg,
     if model_dir.exists() and (model_dir / "generation_config.json").exists():
         gen_json = model_dir / "generation_config.json"
     if gen_json:
-        return GenerationConfig.from_json(str(gen_json), **kw)
+        gc = GenerationConfig.from_json(str(gen_json), **kw)
+        if not gc.lang_ids and hasattr(tok, "lang_to_id"):
+            # language detection needs the lang-token ids even when the
+            # exported json carries no lang_to_id map
+            import dataclasses
+
+            gc = dataclasses.replace(
+                gc, lang_ids=tuple(sorted(tok.lang_to_id.values())))
+        return gc
     if hasattr(tok, "lang_to_id"):
         kw["lang_ids"] = tuple(sorted(tok.lang_to_id.values()))
     return GenerationConfig(**kw)
@@ -157,11 +165,28 @@ class ModelTrainer:
             # DP decode over every local chip (one process drives the mesh;
             # the reference instead spreads eval over DDP ranks)
             mesh = self._eval_mesh = make_mesh()
+
+        # case-invariant CTC rescoring: the reference ALWAYS folds the CTC
+        # log-probs with the tokenizer's lower->upper map
+        # (decoding.py:183-186 via tokenizer.upper_cased_tokens)
+        upper_to_lower = None
+        upper_map = getattr(tok, "upper_cased_tokens", None)
+        if upper_map:
+            upper_to_lower = np.stack([
+                np.fromiter(upper_map.values(), dtype=np.int64,
+                            count=len(upper_map)),   # upper ids
+                np.fromiter(upper_map.keys(), dtype=np.int64,
+                            count=len(upper_map)),   # lower ids
+            ])
         preds, keys = [], []
         bs = self.cfg.training.per_device_eval_batch_size
         for batch in eval_batches(dataset, self.collator, bs,
                                   pad_to_full=True):
             forced = batch.get("forced_decoder_ids")
+            # no language provided by the dataset -> STNO-aware language
+            # detection on the first window (reference generation.py:151-221
+            # via HF _retrieve_init_tokens when language is None)
+            detect = forced is None and bool(self.gen_cfg.lang_ids)
             if forced is None:
                 prefix = np.asarray(tok.prefix_tokens[:3], dtype=np.int64)
                 forced = np.tile(prefix, (batch["input_features"].shape[0], 1))
@@ -171,6 +196,8 @@ class ModelTrainer:
                 batch["attention_mask"], forced,
                 enroll_features=batch.get("enroll_features"),
                 enroll_stno=batch.get("enroll_stno"),
+                upper_to_lower=upper_to_lower,
+                detect_lang=detect,
                 mesh=mesh)
             preds.extend(list(out.sequences))
             labels = batch["labels"]
@@ -214,6 +241,64 @@ class ModelTrainer:
         return metrics
 
     # -- training ---------------------------------------------------------------
+    def _fit(self, t, num_prefix, start_step, eval_fn, checkpoint_fn,
+             save_best_fn, load_best_fn):
+        """Build Trainer + DataLoader and run; with ``auto_find_batch_size``
+        the per-device batch halves on OOM (gradient accumulation doubles to
+        keep the global batch, reference trainers.py:141-168)."""
+        import jax
+
+        bs = t.per_device_train_batch_size
+
+        def params_alive(params):
+            leaves = jax.tree.leaves(params)
+            return not leaves or not getattr(
+                leaves[0], "is_deleted", lambda: False)()
+
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(t.mesh_shape, t.mesh_axis_names)
+        while True:
+            if not params_alive(self.container.params):
+                # the failed attempt's donated buffers are gone; reload
+                logger.info("Rebuilding model params after OOM retry")
+                self.container = WhisperContainer(self.cfg,
+                                                  seed=t.seed)
+            global_bs = bs * max(1, mesh.size)
+            trainer = Trainer(self.cfg, self.container.model_config,
+                              self.container.params,
+                              num_prefix_tokens=num_prefix,
+                              eval_fn=eval_fn if self.dev_datasets else None,
+                              checkpoint_fn=checkpoint_fn,
+                              save_best_fn=save_best_fn,
+                              load_best_fn=load_best_fn,
+                              mesh=mesh,
+                              start_step=start_step,
+                              steps_per_epoch=(
+                                  len(self.train_dataset) // global_bs
+                                  or None))
+            loader = DataLoader(
+                self.train_dataset, self.collator,
+                batch_size=global_bs,
+                seed=t.seed,
+                num_workers=t.dataloader_num_workers,
+                prefetch_factor=t.dataloader_prefetch_factor,
+                num_epochs=(None if t.max_steps and t.max_steps > 0
+                            else t.num_train_epochs))
+            try:
+                return trainer.train(iter(loader))
+            except Exception as e:
+                oom = "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in \
+                    str(e).lower()
+                if not (t.auto_find_batch_size and oom and bs > 1):
+                    raise
+                bs //= 2
+                t.per_device_train_batch_size = bs
+                t.gradient_accumulation_steps *= 2
+                logger.warning(
+                    "OOM at per-device batch %d -> retrying with %d "
+                    "(grad accumulation x2)", bs * 2, bs)
+
     def train(self):
         t = self.cfg.training
         os.makedirs(t.output_dir, exist_ok=True)
@@ -251,20 +336,22 @@ class ModelTrainer:
             save_checkpoint(os.path.join(t.output_dir, "ckpt"), params,
                             step=step, keep=t.save_total_limit)
 
-        trainer = Trainer(self.cfg, self.container.model_config,
-                          self.container.params,
-                          num_prefix_tokens=num_prefix,
-                          eval_fn=eval_fn if self.dev_datasets else None,
-                          checkpoint_fn=checkpoint_fn,
-                          start_step=start_step)
+        best_dir = os.path.join(t.output_dir, "ckpt_best")
 
-        loader = DataLoader(self.train_dataset, self.collator,
-                            batch_size=t.per_device_train_batch_size
-                            * max(1, trainer.mesh.size),
-                            seed=t.seed,
-                            num_workers=t.dataloader_num_workers,
-                            prefetch_factor=t.dataloader_prefetch_factor)
-        state = trainer.train(iter(loader))
+        def save_best_fn(params, step):
+            # best-dev-metric checkpoint for load_best_model_at_end
+            # (reference configs/base.yaml:91)
+            save_checkpoint(best_dir, params, step=step, keep=1)
+
+        def load_best_fn(template_params):
+            from .training.checkpoints import restore_checkpoint
+
+            state, _ = restore_checkpoint(best_dir,
+                                          {"params": template_params})
+            return state["params"]
+
+        state = self._fit(t, num_prefix, start_step, eval_fn, checkpoint_fn,
+                          save_best_fn, load_best_fn)
 
         final_params = state.params
         if "lora" in final_params:

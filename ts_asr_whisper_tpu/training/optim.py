@@ -89,18 +89,21 @@ def build_optimizer(
     def adamw(lr_mult: float):
         sched = make_lr_schedule(cfg, cfg.learning_rate * lr_mult)
         mu_dtype = getattr(cfg, "adam_mu_dtype", None)
-        return optax.chain(
-            optax.clip_by_global_norm(cfg.max_grad_norm),
-            optax.adamw(sched, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
-                        eps=cfg.adam_epsilon, weight_decay=cfg.weight_decay,
-                        mu_dtype=mu_dtype),
-        )
+        return optax.adamw(sched, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
+                           eps=cfg.adam_epsilon, weight_decay=cfg.weight_decay,
+                           mu_dtype=mu_dtype)
 
     mult = cfg.fddt_lr_multiplier if cfg.use_custom_optimizer else 1.0
-    tx = optax.multi_transform(
-        {"preheat": adamw(mult), "base": adamw(1.0),
-         "frozen": optax.set_to_zero()},
-        labels)
+    # ONE global-norm clip over all groups BEFORE the per-group transforms —
+    # HF Trainer clips a single norm over every trainable parameter; frozen
+    # params' grads are exact zeros (stop_gradient in the loss) so they do
+    # not perturb the norm
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.multi_transform(
+            {"preheat": adamw(mult), "base": adamw(1.0),
+             "frozen": optax.set_to_zero()},
+            labels))
     return tx, tx.init(params)
 
 

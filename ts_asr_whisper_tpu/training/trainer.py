@@ -121,6 +121,9 @@ class Trainer:
         checkpoint_fn: Optional[Callable[[Any, int], None]] = None,
         mesh=None,
         start_step: int = 0,
+        steps_per_epoch: Optional[int] = None,
+        save_best_fn: Optional[Callable[[Any, int], None]] = None,
+        load_best_fn: Optional[Callable[[Any], Any]] = None,
     ):
         self.cfg = cfg
         self.model_cfg = model_cfg
@@ -129,6 +132,12 @@ class Trainer:
         self.eval_fn = eval_fn
         self.checkpoint_fn = checkpoint_fn
         self.num_prefix_tokens = num_prefix_tokens
+        # epoch-strategy support (reference configs/base.yaml:80-81 default
+        # eval/save at every epoch boundary; eval_delay counts epochs there)
+        self.steps_per_epoch = steps_per_epoch
+        self.save_best_fn = save_best_fn
+        self.load_best_fn = load_best_fn
+        self._best_saved = False
 
         t = cfg.training
         if t.use_lora and "lora" not in params:
@@ -222,18 +231,38 @@ class Trainer:
                             dt, t.logging_steps)
                 self.metrics_logger.log(parts, self.state.step)
 
-            if (t.eval_strategy == "steps" and self.eval_fn is not None
-                    and self.state.step % t.eval_steps == 0):
+            # epoch boundary (the loader yields drop_last batches, so
+            # steps_per_epoch = len(dataset) // batch_size)
+            spe = self.steps_per_epoch
+            at_epoch_end = bool(spe) and self.state.step % spe == 0
+            epochs_done = self.state.step // spe if spe else 0
+
+            # eval_delay counts units of the active strategy (HF semantics)
+            if self.eval_fn is not None and (
+                    (t.eval_strategy == "steps"
+                     and self.state.step % t.eval_steps == 0
+                     and self.state.step >= t.eval_delay)
+                    or (t.eval_strategy == "epoch" and at_epoch_end
+                        and epochs_done >= t.eval_delay)):
                 if self._run_eval():
                     break
-            if (t.save_strategy == "steps" and self.checkpoint_fn is not None
-                    and self.state.step % t.save_steps == 0):
+            if self.checkpoint_fn is not None and (
+                    (t.save_strategy == "steps"
+                     and self.state.step % t.save_steps == 0)
+                    or (t.save_strategy == "epoch" and at_epoch_end)):
                 self.checkpoint_fn(self.state.params, self.state.step)
             if profiling and self.state.step >= 12:
                 jax.profiler.stop_trace()  # profile the first dozen steps
                 profiling = False
         if profiling:
             jax.profiler.stop_trace()
+        # reference configs/base.yaml:91 load_best_model_at_end: the final
+        # test eval must use the best-dev-metric params, not the last step's
+        if (t.load_best_model_at_end and self._best_saved
+                and self.load_best_fn is not None):
+            logger.info("Reloading best checkpoint (metric %s = %s)",
+                        t.metric_for_best_model, self._best_metric)
+            self.state.params = self.load_best_fn(self.state.params)
         return self.state
 
     def _run_eval(self) -> bool:
@@ -243,16 +272,20 @@ class Trainer:
         logger.info("eval @ %d: %s", self.state.step, metrics)
         self.metrics_logger.log(metrics, self.state.step)
         key = t.metric_for_best_model
-        if key and key in metrics and t.early_stopping_patience > 0:
+        if key and key in metrics:
             value = metrics[key]
             better = (self._best_metric is None
                       or (value > self._best_metric) == t.greater_is_better)
             if better and value != self._best_metric:
                 self._best_metric = value
                 self._bad_evals = 0
+                if self.save_best_fn is not None:
+                    self.save_best_fn(self.state.params, self.state.step)
+                    self._best_saved = True
             else:
                 self._bad_evals += 1
-                if self._bad_evals >= t.early_stopping_patience:
+                if (t.early_stopping_patience > 0
+                        and self._bad_evals >= t.early_stopping_patience):
                     logger.info("Early stopping at step %d", self.state.step)
                     return True
         return False

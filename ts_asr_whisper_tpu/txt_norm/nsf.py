@@ -130,8 +130,12 @@ class ReverseNumberNormalizer:
         return " ".join(self._number_to_words(w) for w in s.split())
 
 
-def _load_mapping(env_var: str) -> Dict[str, str]:
-    path = os.environ.get(env_var)
+def _load_mapping(env_var: str, default_asset: str) -> Dict[str, str]:
+    """Env-var override, else the vendored spelling asset (the reference
+    loads english.json / pre_english.json unconditionally,
+    english.py:638-639)."""
+    path = os.environ.get(env_var) \
+        or os.path.join(os.path.dirname(__file__), default_asset)
     if path and os.path.exists(path):
         with open(path) as f:
             return json.load(f)
@@ -149,10 +153,10 @@ class NsfEnglishTextNormalizer:
         self.reverse_number_norm = ReverseNumberNormalizer() \
             if standardize_numbers_rev else None
         self.spelling = spelling_mapping if spelling_mapping is not None \
-            else _load_mapping("TSAW_SPELLING_JSON")
+            else _load_mapping("TSAW_SPELLING_JSON", "english.json")
         self.pre_spelling = pre_spelling_mapping \
             if pre_spelling_mapping is not None \
-            else _load_mapping("TSAW_PRE_SPELLING_JSON")
+            else _load_mapping("TSAW_PRE_SPELLING_JSON", "pre_english.json")
         self.remove_fillers = remove_fillers
         self._rules = (_SOUND_RULES + _WORD_RULES + _TITLE_RULES
                        + _CONTRACTION_RULES)
