@@ -1,94 +1,177 @@
-"""Benchmark: DiCoW large-v3-turbo long-form decode throughput on one chip.
+"""Benchmarks: DiCoW large-v3-turbo on one chip, measured on the REAL paths.
 
-Measures the full per-window inference pipeline (mel->encoder+FDDT->KV-cached
-greedy decode of a fixed token budget) and reports real-time factor:
-audio-seconds transcribed per wall-clock second per chip.
+Three metrics, one JSON line each (the greedy long-form RTFx first — the
+north-star headline):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is value / 50 — the north-star target of >=50x real time per
-v5e chip (BASELINE.json; the reference publishes no throughput numbers).
+1. longform_greedy_rtfx  — full longform_generate() on multi-window
+   synthetic meetings: on-device mel + encoder+FDDT + KV-cached greedy
+   window decode PLUS the host seek orchestration (segment retrieval,
+   active-row compaction, timestamp re-blocking). Audio-seconds transcribed
+   per wall-clock second.
+2. longform_beam_joint_rtfx — same pipeline with the reference's headline
+   beam-5 joint-CTC decode envelope (ctc_weight 0.2, length_penalty 0.1,
+   configs/decode/dicow_v3_beam_joint.yaml).
+3. train_step_samples_per_s — jitted train step (bf16 compute, remat,
+   AdamW, donated buffers) at batch 8 on 30 s windows.
+
+``vs_baseline`` for decode = value / 50 (the >=50x real-time north star;
+the reference publishes no throughput numbers). For training there is no
+reference number; vs_baseline is null.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import time
 
 import numpy as np
 
 
-def main():
+def _emit(metric, value, unit, vs_baseline):
+    print(json.dumps({"metric": metric, "value": value, "unit": unit,
+                      "vs_baseline": vs_baseline}), flush=True)
+
+
+def _bench_longform(num_beams: int, ctc_weight: float, batch: int,
+                    n_windows: int, length_penalty: float = 1.0):
     import jax
     import jax.numpy as jnp
 
     from ts_asr_whisper_tpu.decoding.generation_config import GenerationConfig
-    from ts_asr_whisper_tpu.decoding.greedy import greedy_decode
+    from ts_asr_whisper_tpu.decoding.longform import longform_generate
     from ts_asr_whisper_tpu.models.config import make_config
-    from ts_asr_whisper_tpu.models.dicow import dicow_encoder_forward, init_dicow
+    from ts_asr_whisper_tpu.models.convert import cast_params
+    from ts_asr_whisper_tpu.models.dicow import init_dicow
     from ts_asr_whisper_tpu.ops.mel import log_mel_spectrogram
 
-    batch = 16
-    decode_tokens = 128   # realistic tokens per 30 s window
-    iters = 8
+    cfg = make_config(
+        "large-v3-turbo",
+        ctc_weight=ctc_weight,
+        use_fddt=True,
+        use_pre_pos_fddt=True,
+        non_target_fddt_value=0.5,
+        dtype="bfloat16",
+    )
+    gen_cfg = GenerationConfig(return_timestamps=True, max_length=448,
+                               num_beams=num_beams, ctc_weight=ctc_weight,
+                               length_penalty=length_penalty)
+    params = init_dicow(jax.random.PRNGKey(0), cfg)
+    params = cast_params(params, jnp.bfloat16)
+
+    t_total = 3000 * n_windows
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((batch, 160 * t_total)).astype(np.float32) \
+        * 0.05
+    feats = np.asarray(jax.jit(
+        lambda a: log_mel_spectrogram(a, cfg.num_mel_bins))(
+            jnp.asarray(audio)), dtype=np.float32)
+    stno = np.full((batch, 4, t_total // 2), 0.25, np.float32)
+    attn = np.ones((batch, t_total), np.int64)
+    prompts = np.tile(np.asarray([[50258, 50259, 50360]], np.int64),
+                      (batch, 1))
+
+    def run():
+        return longform_generate(params, cfg, gen_cfg, feats, stno, attn,
+                                 prompts, max_new_tokens=128)
+
+    run()  # compile (encoder + decode loop + all bucket shapes)
+    t0 = time.perf_counter()
+    iters = 2
+    windows = 0
+    for _ in range(iters):
+        out = run()
+        windows += out.windows_decoded
+    np.asarray(out.sequences)
+    elapsed = time.perf_counter() - t0
+    # random-weight decodes trigger seek rollbacks (windows re-decoded with
+    # partial advance) that real checkpoints don't; normalize by the audio
+    # actually pushed through the pipeline, not the nominal clip length
+    audio_seconds = windows * 30.0
+    del params
+    gc.collect()
+    return audio_seconds / elapsed
+
+
+def _bench_train_step(batch: int = 8):
+    import jax
+    import optax
+
+    from ts_asr_whisper_tpu.config import Cfg
+    from ts_asr_whisper_tpu.models.config import make_config
+    from ts_asr_whisper_tpu.models.dicow import init_dicow
+    from ts_asr_whisper_tpu.training.trainer import make_train_step
+
+    cfg = make_config(
+        "large-v3-turbo",
+        ctc_weight=0.3,
+        use_fddt=True,
+        use_pre_pos_fddt=True,
+        non_target_fddt_value=0.5,
+        dtype="bfloat16",
+    )
+    t = Cfg().training
+    t.learning_rate = 2e-6
+    t.lr_scheduler_type = "cosine"
+    t.max_steps = 1000
+    t.warmup_steps = 100
+    params = init_dicow(jax.random.PRNGKey(0), cfg)
+    import jax.numpy as jnp
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(t.max_grad_norm),
+        optax.adamw(2e-6, mu_dtype=jnp.bfloat16))
+    opt_state = tx.init(params)
+    # the dicow_v3 fine-tune recipe: decoder frozen
+    # (configs/train/dicow_v3.yaml params_to_keep_frozen_keywords)
+    from ts_asr_whisper_tpu.training.optim import trainable_mask
+
+    mask = trainable_mask(params, (), ("decoder",), preheat_only=False)
+    step_fn, _ = make_train_step(cfg, tx, num_prefix_tokens=3, remat=True,
+                                 trainable_mask=mask)
+
+    rng = np.random.default_rng(0)
+    labels = np.concatenate(
+        [np.full((batch, 1), 50258, np.int32),
+         rng.integers(0, 20000, (batch, 95)).astype(np.int32)], axis=1)
+    batch_data = {
+        "input_features": rng.standard_normal(
+            (batch, cfg.num_mel_bins, 3000)).astype(np.float32),
+        "stno_mask": np.full((batch, 4, 1500), 0.25, np.float32),
+        "labels": labels,
+        "upp_labels": labels.copy(),
+    }
+    params, opt_state, _ = step_fn(params, opt_state, batch_data)  # compile
+    jax.block_until_ready(params)
+    t0 = time.perf_counter()
+    steps = 5
+    for _ in range(steps):
+        params, opt_state, parts = step_fn(params, opt_state, batch_data)
+    jax.block_until_ready(params)
+    elapsed = time.perf_counter() - t0
+    return batch * steps / elapsed
+
+
+def main():
+    import jax
 
     from ts_asr_whisper_tpu.ops.attention import set_attention_impl
 
     if jax.default_backend() == "tpu":
         set_attention_impl("pallas")  # flash kernel: +26% encoder throughput
 
-    cfg = make_config(
-        "large-v3-turbo",
-        ctc_weight=0.0,          # greedy decode config (ctc_weight 0)
-        use_fddt=True,
-        use_pre_pos_fddt=True,
-        non_target_fddt_value=0.5,
-        dtype="bfloat16",
-    )
-    gen_cfg = GenerationConfig(return_timestamps=True, max_length=448)
+    rtfx = _bench_longform(num_beams=1, ctc_weight=0.0, batch=8, n_windows=3)
+    _emit("longform_greedy_rtfx_large-v3-turbo", round(rtfx, 2),
+          "x_realtime_per_chip", round(rtfx / 50.0, 3))
 
-    params = init_dicow(jax.random.PRNGKey(0), cfg)
-    # serving: bf16 weights halve the weight-streaming traffic that
-    # dominates small-batch decode steps
-    from ts_asr_whisper_tpu.models.convert import cast_params
+    rtfx_beam = _bench_longform(num_beams=5, ctc_weight=0.2, batch=8,
+                                n_windows=2, length_penalty=0.1)
+    _emit("longform_beam5_joint_ctc_rtfx_large-v3-turbo", round(rtfx_beam, 2),
+          "x_realtime_per_chip", round(rtfx_beam / 50.0, 3))
 
-    params = cast_params(params, jnp.bfloat16)
-    rng = np.random.default_rng(0)
-    audio = rng.standard_normal((batch, 480_000)).astype(np.float32) * 0.05
-    audio_j = jnp.asarray(audio)
-    stno = jnp.full((batch, 4, 1500), 0.25, jnp.float32)
-    prompts = jnp.tile(jnp.asarray([[50258, 50259, 50360]], jnp.int32),
-                       (batch, 1))
-
-    @jax.jit
-    def encode(params, audio, stno):
-        feats = log_mel_spectrogram(audio, cfg.num_mel_bins)
-        return dicow_encoder_forward(params["encoder"], cfg, feats, stno)
-
-    def window(params):
-        enc = encode(params, audio_j, stno)
-        out = greedy_decode(params, cfg, gen_cfg, enc, prompts,
-                            max_new_tokens=decode_tokens,
-                            force_full_length=True)
-        return out.sequences
-
-    # warmup/compile (np.asarray forces full materialization — on remoted
-    # backends block_until_ready alone can return before execution finishes)
-    np.asarray(window(params))
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = window(params)
-    np.asarray(out)
-    elapsed = time.perf_counter() - t0
-
-    audio_seconds = batch * 30.0 * iters
-    rtfx = audio_seconds / elapsed
-    print(json.dumps({
-        "metric": "longform_decode_rtfx_large-v3-turbo",
-        "value": round(rtfx, 2),
-        "unit": "x_realtime_per_chip",
-        "vs_baseline": round(rtfx / 50.0, 3),
-    }))
+    sps = _bench_train_step(batch=8)
+    _emit("train_step_samples_per_s_large-v3-turbo", round(sps, 2),
+          "samples_per_s_per_chip", None)
 
 
 if __name__ == "__main__":

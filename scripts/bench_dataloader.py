@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Dataloader throughput benchmark: samples/s through the full host path
+(WAV read -> mel featurization -> STNO masks -> collation) with the
+threaded DataLoader.
+
+Compares the numpy host mel (current) against the round-1 per-sample
+device-mel path (--device-mel re-enables it) to quantify the round-trip
+penalty. Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def make_corpus(tmp: Path, n_cuts: int, duration: float):
+    import gzip
+
+    from ts_asr_whisper_tpu.data.audio import save_wav
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    cuts = []
+    wav = (0.05 * rng.standard_normal(int(sr * duration))).astype(np.float32)
+    save_wav(str(tmp / "shared.wav"), wav, sr)
+    for i in range(n_cuts):
+        rec = {"id": f"r{i}",
+               "sources": [{"type": "file", "channels": [0],
+                            "source": str(tmp / "shared.wav")}],
+               "sampling_rate": sr, "num_samples": len(wav),
+               "duration": duration}
+        sups = [{"id": f"r{i}-A", "recording_id": f"r{i}", "start": 0.5,
+                 "duration": duration - 1, "channel": 0,
+                 "text": "hello world", "speaker": "A", "language": "en"}]
+        cuts.append({"id": f"r{i}_cut", "start": 0.0, "duration": duration,
+                     "channel": 0, "supervisions": sups, "recording": rec,
+                     "type": "MonoCut"})
+    path = tmp / "cuts.jsonl.gz"
+    with gzip.open(path, "wt") as f:
+        for c in cuts:
+            f.write(json.dumps(c) + "\n")
+    return path
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n-cuts", type=int, default=256)
+    p.add_argument("--duration", type=float, default=30.0)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--device-mel", action="store_true",
+                   help="re-enable the round-1 per-sample device mel")
+    args = p.parse_args()
+
+    if args.device_mel:
+        import jax.numpy as jnp
+
+        from ts_asr_whisper_tpu.ops import mel as mel_mod
+
+        def device_extract(waveform, num_mel_filters=80,
+                           pad_to_multiple_of=mel_mod.N_SAMPLES):
+            waveform = np.asarray(waveform, np.float32).reshape(-1)
+            n = waveform.shape[0]
+            padded_len = int(np.ceil(max(n, 1) / pad_to_multiple_of)) \
+                * pad_to_multiple_of
+            padded = np.zeros(padded_len, np.float32)
+            padded[:n] = waveform
+            mask = np.zeros(padded_len, np.int32)
+            mask[:n] = 1
+            feats = mel_mod.log_mel_spectrogram(
+                jnp.asarray(padded)[None], num_mel_filters)[0]
+            return np.asarray(feats), mask[::mel_mod.HOP_LENGTH]
+
+        import ts_asr_whisper_tpu.data.datasets as ds_mod
+
+        ds_mod.extract_features = device_extract
+
+    from ts_asr_whisper_tpu.data.collators import DataCollator
+    from ts_asr_whisper_tpu.data.datasets import TS_ASR_Dataset, load_cutsets
+    from ts_asr_whisper_tpu.data.tokenizer import ByteLevelTokenizer
+    from ts_asr_whisper_tpu.training.dataloader import DataLoader
+
+    with tempfile.TemporaryDirectory() as td:
+        tmp = Path(td)
+        manifest = make_corpus(tmp, args.n_cuts, args.duration)
+        cutsets = load_cutsets([str(manifest)], False)
+        dataset = TS_ASR_Dataset(cutsets, text_norm=lambda x: x,
+                                 use_timestamps=True, num_mel_bins=80,
+                                 global_lang_id="en")
+        collator = DataCollator(tokenizer=ByteLevelTokenizer(),
+                                bos_token_id=0, max_length=64)
+        loader = DataLoader(dataset, collator, batch_size=args.batch,
+                            num_workers=args.workers, prefetch_factor=4,
+                            num_epochs=1, shuffle=False)
+        # warmup one batch (fft plan caches, file cache)
+        next(iter(loader))
+        t0 = time.perf_counter()
+        n = 0
+        for batch in loader:
+            n += batch["input_features"].shape[0]
+        elapsed = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "dataloader_samples_per_s",
+        "value": round(n / elapsed, 2),
+        "unit": "samples_per_s",
+        "device_mel": bool(args.device_mel),
+        "workers": args.workers,
+    }))
+
+
+if __name__ == "__main__":
+    main()

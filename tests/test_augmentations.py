@@ -100,3 +100,23 @@ def test_collator_joint_specaug_keeps_stno_normalized(rng):
     batch = coll(samples)
     assert batch["input_features"].shape == (2, 80, 3000)
     assert batch["stno_mask"].shape == (2, 4, 1500)
+
+
+def test_interp_time_bicubic_matches_torch():
+    """The 4-tap cubic-convolution resample must match torch
+    F.interpolate(mode='bicubic', align_corners=False) along time."""
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from ts_asr_whisper_tpu.data.augmentations import _interp_time_bicubic
+
+    rng = np.random.default_rng(0)
+    for t, new_len in [(100, 137), (137, 100), (300, 301), (50, 13)]:
+        x = rng.standard_normal((t, 24)).astype(np.float32)
+        ours = _interp_time_bicubic(x, new_len)
+        ref = F.interpolate(torch.tensor(x)[None, None], size=(new_len, 24),
+                            mode="bicubic", align_corners=False)[0, 0].numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)

@@ -306,3 +306,46 @@ def test_auto_find_batch_size_halves_on_oom(corpus, tmp_path, monkeypatch):
     assert cfg.training.per_device_train_batch_size == 1
     assert cfg.training.gradient_accumulation_steps == 2
     assert any(k.endswith("tcp_wer") for k in metrics)
+
+
+def test_smoke_decode_script(corpus, tmp_path, capsys):
+    """scripts/smoke_decode.py: HF checkpoint dir + manifest -> tcpWER, the
+    exact flow for reproducing BASELINE.md numbers with real weights."""
+    import importlib.util
+    import json as _json
+
+    import jax
+
+    from ts_asr_whisper_tpu.models.config import DiCoWConfig
+    from ts_asr_whisper_tpu.models.dicow import init_dicow
+    from ts_asr_whisper_tpu.training.checkpoints import export_hf_checkpoint
+
+    # export a tiny random model in the HF layout (config + safetensors)
+    with open(corpus["model"] / "config.json") as f:
+        cfg_json = _json.load(f)
+    cfg = DiCoWConfig(**cfg_json, dtype="float32")
+    params = init_dicow(jax.random.PRNGKey(0), cfg)
+    model_dir = tmp_path / "hf_ckpt"
+    export_hf_checkpoint(params, cfg, str(model_dir))
+
+    spec = importlib.util.spec_from_file_location(
+        "smoke_decode",
+        Path(__file__).parent.parent / "scripts" / "smoke_decode.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out_dir = tmp_path / "smoke"
+    res = mod.main([
+        "--model-dir", str(model_dir),
+        "--cutset", str(corpus["eval"]),
+        "--output-dir", str(out_dir),
+        "--batch", "2",
+        "--max-length", "40",
+        "--dtype", "float32",
+        "--text-norm", "null",
+    ])
+    assert any(k.endswith("tcp_wer") for k in res), res
+    assert list(out_dir.rglob("all_session_wer.csv"))
+    # stdout carries the one-line JSON summary
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert any(k.endswith("tcp_wer") for k in _json.loads(line))

@@ -74,3 +74,17 @@ def test_jit_and_batch(rng):
     single = mel_ops.log_mel_spectrogram(wavs[1:2], 80)
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(single[0]),
                                atol=1e-6)
+
+
+def test_numpy_mel_matches_jnp():
+    """Host numpy mel (dataloader path) == on-device jnp mel to ~1e-5."""
+    import numpy as np
+
+    from ts_asr_whisper_tpu.ops.mel import log_mel_numpy, log_mel_spectrogram
+
+    rng = np.random.default_rng(5)
+    wav = (rng.standard_normal((2, 480_000)) * 0.1).astype(np.float32)
+    a = np.asarray(log_mel_spectrogram(wav))
+    b = log_mel_numpy(wav)
+    assert a.shape == b.shape == (2, 80, 3000)
+    assert np.max(np.abs(a - b)) < 2e-5

@@ -15,19 +15,32 @@ from typing import Sequence, Tuple
 import numpy as np
 
 
-def _interp_time_bicubic(x: np.ndarray, new_len: int) -> np.ndarray:
-    """Resize (T, F) -> (new_len, F) along time with cubic interpolation
-    (torch F.interpolate(mode='bicubic') equivalent along one axis)."""
-    from scipy.ndimage import zoom
+def _cubic_conv_weights(frac: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Cubic-convolution kernel weights for taps at offsets (-1, 0, 1, 2)
+    around the floor sample (the torch/OpenCV bicubic kernel, a=-0.75)."""
+    d = np.stack([frac + 1.0, frac, 1.0 - frac, 2.0 - frac], axis=-1)
+    d = np.abs(d)
+    near = (a + 2.0) * d**3 - (a + 3.0) * d**2 + 1.0
+    far = a * d**3 - 5.0 * a * d**2 + 8.0 * a * d - 4.0 * a
+    return np.where(d <= 1.0, near, np.where(d < 2.0, far, 0.0))
 
-    if x.shape[0] == new_len:
+
+def _interp_time_bicubic(x: np.ndarray, new_len: int) -> np.ndarray:
+    """Resize (T, F) -> (new_len, F) along time with bicubic interpolation —
+    torch ``F.interpolate(mode='bicubic', align_corners=False)`` semantics
+    (cubic convolution a=-0.75, half-pixel centers, edge clamping), computed
+    as one 4-tap gather + weighted sum. ~100x faster than the scipy spline
+    zoom it replaces (the round-1 loader bottleneck) and, unlike it,
+    parity-testable against torch (tests/test_augmentations.py)."""
+    t = x.shape[0]
+    if t == new_len:
         return x
-    factor = new_len / x.shape[0]
-    out = zoom(x, (factor, 1.0), order=3, grid_mode=True, mode="grid-constant")
-    if out.shape[0] != new_len:  # guard rounding
-        out = out[:new_len] if out.shape[0] > new_len else np.pad(
-            out, ((0, new_len - out.shape[0]), (0, 0)), mode="edge")
-    return out
+    src = (np.arange(new_len, dtype=np.float64) + 0.5) * (t / new_len) - 0.5
+    i0 = np.floor(src).astype(np.int64)
+    frac = src - i0
+    taps = np.clip(i0[:, None] + np.arange(-1, 3)[None, :], 0, t - 1)
+    w = _cubic_conv_weights(frac).astype(x.dtype)        # (new_len, 4)
+    return np.einsum("ok,okf->of", w, x[taps])
 
 
 def time_warp(x: np.ndarray, window: int = 5) -> np.ndarray:

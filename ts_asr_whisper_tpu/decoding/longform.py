@@ -15,6 +15,7 @@ Re-designs the reference's generation stack
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from decimal import ROUND_HALF_UP, Decimal
 from typing import Any, Dict, List, Optional
@@ -29,6 +30,13 @@ from ..models.config import DiCoWConfig
 from ..models.dicow import dicow_encoder_forward, encoder_ctc_logits
 from .generation_config import GenerationConfig
 from .greedy import greedy_decode
+
+# jit the per-window encoder work: called eagerly these compose hundreds of
+# dispatches per window (catastrophic over a remoted-TPU link); jitted they
+# are one XLA program each, cached across windows and calls
+_encoder_jit = jax.jit(dicow_encoder_forward,
+                       static_argnames=("cfg", "remat"))
+_ctc_logits_jit = jax.jit(encoder_ctc_logits, static_argnames=("cfg",))
 
 TIME_PRECISION = 0.02
 INPUT_STRIDE = 2              # conv2 stride
@@ -47,6 +55,9 @@ class Segment:
 class LongformOutput:
     sequences: np.ndarray                 # (B, L) padded final token ids
     segments: List[List[Segment]] = field(default_factory=list)
+    # row-windows actually decoded (incl. seek rollbacks / re-decodes);
+    # benchmarks normalize throughput by this, not nominal audio length
+    windows_decoded: int = 0
 
 
 # ---------------------------------------------------------------------------
@@ -255,15 +266,22 @@ def detect_language(
     """One decoder step from <sot>; argmax restricted to language tokens.
     The STNO conditioning is already inside encoder_hidden (the reference
     passes the stno slice through the encoder the same way)."""
+    return np.asarray(_detect_lang_jit(params, cfg, encoder_hidden,
+                                       gen_cfg.decoder_start_token_id,
+                                       gen_cfg.lang_ids))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sot", "lang_ids"))
+def _detect_lang_jit(params, cfg, encoder_hidden, sot: int,
+                     lang_ids: tuple) -> jax.Array:
     from ..models.whisper import decoder_forward, lm_logits
 
     b = encoder_hidden.shape[0]
-    sot = jnp.full((b, 1), gen_cfg.decoder_start_token_id, jnp.int32)
-    hidden = decoder_forward(params["decoder"], cfg, sot, encoder_hidden)
+    sot_tok = jnp.full((b, 1), sot, jnp.int32)
+    hidden = decoder_forward(params["decoder"], cfg, sot_tok, encoder_hidden)
     logits = lm_logits(params["decoder"], hidden[:, -1])
-    lang_ids = jnp.asarray(gen_cfg.lang_ids, jnp.int32)
-    lang_logits = logits[:, lang_ids]
-    return np.asarray(lang_ids[jnp.argmax(lang_logits, axis=-1)])
+    ids = jnp.asarray(lang_ids, jnp.int32)
+    return ids[jnp.argmax(logits[:, ids], axis=-1)]
 
 
 # ---------------------------------------------------------------------------
@@ -337,9 +355,9 @@ def longform_generate(
             first = np.pad(first, ((0, 0), (0, 0), (0, pad_cols)))
         first_stno = slice_stno_for_seek(stno_mask, np.zeros(b, np.int64),
                                          max_frames, num_segment_frames // 2)
-        enc0 = dicow_encoder_forward(params["encoder"], cfg,
-                                     _dev(first),
-                                     _dev(first_stno), **enroll_args)
+        enc0 = _encoder_jit(params["encoder"], cfg,
+                            _dev(first),
+                            _dev(first_stno), **enroll_args)
         langs = detect_language(params, cfg, gen_cfg, enc0)
         forced_decoder_ids = np.asarray(forced_decoder_ids).copy()
         forced_decoder_ids[:, 1] = langs
@@ -350,12 +368,14 @@ def longform_generate(
             p *= 2
         return min(p, b)
 
+    windows_decoded = 0
     while (seek < max_frames).any():
         # compact active rows: recordings finish at different times, so late
         # iterations decode a small power-of-2 bucket instead of the full
         # batch (bucket shapes bound recompilation; the jit cache persists
         # across calls). Device arrays are indexed by `rows`.
         active_idx = np.where(seek < max_frames)[0]
+        windows_decoded += len(active_idx)
         bucket = _next_pow2(len(active_idx))
         if bucket % n_data:  # DP decode: buckets must tile the mesh
             bucket = -(-bucket // n_data) * n_data
@@ -385,7 +405,7 @@ def longform_generate(
                 enroll_features=_dev(enroll_args["enroll_features"][rows]),
                 enroll_stno=_dev(enroll_args["enroll_stno"][rows]))
 
-        enc = dicow_encoder_forward(
+        enc = _encoder_jit(
             params["encoder"], cfg, _dev(window),
             _dev(stno_window), **bucket_enroll)
 
@@ -394,7 +414,7 @@ def longform_generate(
         if gen_cfg.ctc_weight > 0:
             from .ctc_rescorer import CTCRescorer, init_ctc_state
 
-            enc_logits = encoder_ctc_logits(params["encoder"], cfg, enc)
+            enc_logits = _ctc_logits_jit(params["encoder"], cfg, enc)
             blank = cfg.ctc_vocab_size - 1
             ctc_scorer = CTCRescorer(
                 blank_id=blank, eos_id=gen_cfg.eos_token_id,
@@ -535,4 +555,5 @@ def longform_generate(
     sequences = fix_timestamps_from_segmentation(
         all_segments, ts_begin, gen_cfg.pad_token_id)
     return LongformOutput(sequences=sequences,
-                          segments=all_segments if return_segments else [])
+                          segments=all_segments if return_segments else [],
+                          windows_decoded=windows_decoded)

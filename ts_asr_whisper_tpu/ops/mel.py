@@ -162,6 +162,40 @@ def log_mel_spectrogram(waveform: jax.Array, num_mel_filters: int = 80) -> jax.A
     return jnp.swapaxes(log_spec, 1, 2)                     # (B, n_mels, T)
 
 
+@functools.lru_cache(maxsize=4)
+def _hann_window() -> np.ndarray:
+    t = np.arange(N_FFT, dtype=np.float64)
+    return (0.5 * (1.0 - np.cos(2.0 * np.pi * t / N_FFT))).astype(np.float32)
+
+
+def log_mel_numpy(waveform: np.ndarray, num_mel_filters: int = 80
+                  ) -> np.ndarray:
+    """Pure-numpy mirror of log_mel_spectrogram for HOST featurization.
+
+    Dataloader workers must never touch the device: the round trip
+    serializes the loader on the accelerator and steals device time from
+    the train step (round-1 weakness). np.fft releases the GIL, so thread
+    workers parallelize. (B, N) fp32 -> (B, n_mels, T); N a multiple of
+    N_SAMPLES. Numerics match the jnp path / HF fp32 to ~1e-5."""
+    if waveform.ndim == 1:
+        waveform = waveform[None]
+    x = np.pad(waveform.astype(np.float32),
+               ((0, 0), (N_FFT // 2, N_FFT // 2)), mode="reflect")
+    num_frames = waveform.shape[1] // HOP_LENGTH
+    frames = np.lib.stride_tricks.sliding_window_view(
+        x, N_FFT, axis=1)[:, ::HOP_LENGTH][:, :num_frames]
+    # fp64 FFT: an fp32 FFT is ~2x faster but costs ~1e-3 absolute error in
+    # the normalized log-mel — outside the 5e-5 HF-parity budget
+    spec = np.fft.rfft(frames * _hann_window(), axis=-1)
+    power = (spec.real ** 2 + spec.imag ** 2).astype(np.float32)
+    mel = power @ _mel_filters_np(num_mel_filters)
+    log_spec = np.log10(np.clip(mel, 1e-10, None))
+    max_val = log_spec.max(axis=(1, 2), keepdims=True)
+    log_spec = np.maximum(log_spec, max_val - 8.0)
+    log_spec = (log_spec + 4.0) / 4.0
+    return np.swapaxes(log_spec, 1, 2)
+
+
 def extract_features(waveform: np.ndarray, num_mel_filters: int = 80,
                      pad_to_multiple_of: int = N_SAMPLES):
     """Host entry point matching the reference's feature-extractor call
@@ -169,7 +203,8 @@ def extract_features(waveform: np.ndarray, num_mel_filters: int = 80,
     a MEL-FRAME-level attention mask (HF FE downsamples the sample mask by
     hop_length — generation's seek logic counts mel frames).
 
-    Returns (features (n_mels, T), attention_mask (T,)).
+    Runs the numpy mel (no device round trip — this is called from
+    dataloader workers). Returns (features (n_mels, T), attention_mask (T,)).
     """
     waveform = np.asarray(waveform, dtype=np.float32).reshape(-1)
     n = waveform.shape[0]
@@ -179,5 +214,5 @@ def extract_features(waveform: np.ndarray, num_mel_filters: int = 80,
     sample_mask = np.zeros(padded_len, dtype=np.int32)
     sample_mask[:n] = 1
     attention_mask = sample_mask[::HOP_LENGTH]
-    feats = log_mel_spectrogram(jnp.asarray(padded)[None], num_mel_filters)[0]
-    return np.asarray(feats), attention_mask
+    feats = log_mel_numpy(padded[None], num_mel_filters)[0]
+    return feats, attention_mask
