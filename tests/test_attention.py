@@ -40,3 +40,51 @@ def test_flash_grad_matches_xla(rng):
     for a, b_ in zip(g, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("t", [512, 700])
+def test_pallas_bwd_matches_xla_bwd(rng, t):
+    """Fused Pallas backward (interpret mode) == XLA blocked backward."""
+    import jax.numpy as jnp
+
+    from ts_asr_whisper_tpu.ops.attention import (
+        _bwd_xla,
+        _flash_mha_bwd_pallas,
+    )
+
+    q = jnp.asarray(rng.standard_normal((2, 3, t, 64)), jnp.float32) * 0.1
+    k = jnp.asarray(rng.standard_normal((2, 3, t, 64)), jnp.float32) * 0.1
+    v = jnp.asarray(rng.standard_normal((2, 3, t, 64)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((2, 3, t, 64)), jnp.float32)
+    dq_p, dk_p, dv_p = _flash_mha_bwd_pallas(q, k, v, g, block_q=256,
+                                             interpret=True)
+    dq_x, dk_x, dv_x = _bwd_xla((q, k, v), g, block_q=256)
+    np.testing.assert_allclose(np.asarray(dq_p), np.asarray(dq_x),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk_p), np.asarray(dk_x),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv_p), np.asarray(dv_x),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_bwd_matches_autodiff(rng):
+    """Fused backward == jax.grad through the plain XLA attention."""
+    import jax
+    import jax.numpy as jnp
+
+    from ts_asr_whisper_tpu.ops.attention import (
+        _flash_mha_bwd_pallas,
+        _xla_sdpa,
+    )
+
+    t = 300
+    q = jnp.asarray(rng.standard_normal((1, 2, t, 64)), jnp.float32) * 0.2
+    k = jnp.asarray(rng.standard_normal((1, 2, t, 64)), jnp.float32) * 0.2
+    v = jnp.asarray(rng.standard_normal((1, 2, t, 64)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((1, 2, t, 64)), jnp.float32)
+
+    ref_grads = jax.vjp(_xla_sdpa, q, k, v)[1](g)
+    ours = _flash_mha_bwd_pallas(q, k, v, g, block_q=256, interpret=True)
+    for a, b in zip(ours, ref_grads):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)

@@ -8,9 +8,11 @@ scores never touch HBM (XLA's unfused path writes the (B,H,1500,1500) score
 tensor to HBM twice), softmax runs in fp32 on the VPU, both matmuls hit the
 MXU.
 
-Forward-only custom_vjp: the backward recomputes attention with XLA einsums
-(training uses remat anyway); inference — the serving hot path — gets the
-fused kernel.
+custom_vjp with a fused Pallas BACKWARD on TPU as well: per q-block the
+kernel recomputes scores/probs in VMEM and emits dq plus dk/dv accumulated
+across q-blocks — none of the (B,H,T,T)-shaped intermediates ever reach HBM
+(the XLA fallback backward streams them per scan step; measured 16.9 ms vs
+4.6 ms per turbo encoder layer at batch 8).
 
 Enable via ``set_attention_impl('pallas')`` BEFORE the first trace of model
 functions: the implementation choice is read at trace time and is not part
@@ -110,6 +112,98 @@ def _flash_mha_fwd(q, k, v, block_q: int = 256, interpret: bool = False):
     return out[:, :t].reshape(b, h, t, d)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                     *, t_real: int):
+    """One (batch*head, q-block): recompute attention for the block in VMEM
+    and emit dq for the block + accumulate dk/dv across q-blocks (the q-block
+    axis is the LAST grid dim, so the dk/dv output blocks stay resident)."""
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(1)
+    q = q_ref[0]                       # (BQ, D)
+    k = k_ref[0]                       # (T_pad, D)
+    v = v_ref[0]
+    g = g_ref[0]                       # (BQ, D) cotangent (0 on padded rows)
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (BQ, T_pad)
+    t_pad = scores.shape[-1]
+    if t_pad != t_real:
+        key_idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(key_idx < t_real, scores,
+                           jnp.finfo(jnp.float32).min)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)         # (BQ, T_pad) fp32
+    dp = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (BQ, T_pad)
+    dsoft = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds_lo = dsoft.astype(q.dtype)
+    p_lo = p.astype(q.dtype)
+    dq_ref[0] = jax.lax.dot_general(
+        ds_lo, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_i = jax.lax.dot_general(
+        ds_lo, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (T_pad, D)
+    dv_i = jax.lax.dot_general(
+        p_lo, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        dk_ref[0] = dk_i
+        dv_ref[0] = dv_i
+
+    @pl.when(i > 0)
+    def _():
+        dk_ref[0] += dk_i
+        dv_ref[0] += dv_i
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def _flash_mha_bwd_pallas(q, k, v, g, block_q: int = 256,
+                          interpret: bool = False):
+    """Fused flash backward: scores/probs/dsoft never leave VMEM. The XLA
+    blocked backward below streams ~(B*H*block_q*T) fp32 intermediates
+    through HBM per scan step — measured 16.9 ms/layer vs 3.0 ms fwd at
+    batch 8 on v5e (540 ms of a 1603 ms turbo train step)."""
+    from jax.experimental import pallas as pl
+
+    b, h, t, d = q.shape
+    bh = b * h
+    t_pad = -(-t // block_q) * block_q
+
+    def flat_pad(x):
+        x = x.reshape(bh, t, d)
+        if t_pad != t:
+            x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+        return x
+
+    qf, kf, vf, gf = flat_pad(q), flat_pad(k), flat_pad(v), flat_pad(g)
+    grid = (bh, t_pad // block_q)
+    kv_spec = pl.BlockSpec((1, t_pad, d), lambda b_, i: (b_, 0, 0))
+    blk_spec = pl.BlockSpec((1, block_q, d), lambda b_, i: (b_, i, 0))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, t_real=t),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, t_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, t_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, t_pad, d), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[blk_spec, kv_spec, kv_spec, blk_spec],
+        out_specs=(blk_spec, kv_spec, kv_spec),
+        interpret=interpret,
+    )(qf, kf, vf, gf)
+
+    def unpad(x, dtype):
+        return x[:, :t].reshape(b, h, t, d).astype(dtype)
+
+    return unpad(dq, q.dtype), unpad(dk, k.dtype), unpad(dv, v.dtype)
+
+
 @jax.custom_vjp
 def flash_mha(q, k, v):
     return _flash_mha_fwd(q, k, v)
@@ -120,6 +214,13 @@ def _fwd(q, k, v):
 
 
 def _bwd(res, g, block_q: int = 256):
+    q, k, v = res
+    if jax.default_backend() == "tpu":
+        return _flash_mha_bwd_pallas(q, k, v, g, block_q=block_q)
+    return _bwd_xla(res, g, block_q=block_q)
+
+
+def _bwd_xla(res, g, block_q: int = 256):
     """Flash-style blocked backward in XLA: recompute attention per q-block
     inside a scan so the full (B, H, T, T) fp32 score tensor is NEVER
     materialized (that transient is what OOMs large-batch training)."""
