@@ -160,7 +160,9 @@ def main():
     if jax.default_backend() == "tpu":
         set_attention_impl("pallas")  # flash kernel: +26% encoder throughput
 
-    rtfx = _bench_longform(num_beams=1, ctc_weight=0.0, batch=8, n_windows=3)
+    # batch 16 = the reference's greedy eval envelope
+    # (configs/decode/dicow_v3_greedy.yaml); measured sweet spot on v5e
+    rtfx = _bench_longform(num_beams=1, ctc_weight=0.0, batch=16, n_windows=3)
     _emit("longform_greedy_rtfx_large-v3-turbo", round(rtfx, 2),
           "x_realtime_per_chip", round(rtfx / 50.0, 3))
 
