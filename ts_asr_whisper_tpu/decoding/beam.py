@@ -72,12 +72,13 @@ def beam_search(
 
     process = make_logits_processor(gen_cfg, begin_index=prompt_len)
 
-    # cross-attention K/V per audio row, expanded to hypotheses
+    # cross-attention K/V per audio row — NOT expanded per hypothesis: the
+    # n beams of a row share it via the query-fold in _cross_attention
+    # (models/whisper.py), so the dominant decode-step HBM read stays at
+    # audio-batch size instead of growing n-fold
     cross_kv = precompute_cross_kv(dec, cfg, encoder_hidden)
     if gen_cfg.cross_kv_quant:
-        cross_kv = quantize_cross_kv(cross_kv)  # int8 before beam expansion
-    cross_kv = jax.tree.map(lambda x: jnp.repeat(x, n, axis=1),
-                            cross_kv)          # (L, Bb, H, T, ...)
+        cross_kv = quantize_cross_kv(cross_kv)
     cache = init_kv_cache(cfg, bb, total_len)
 
     tokens = jnp.full((b, n, total_len), pad, dtype=jnp.int32)

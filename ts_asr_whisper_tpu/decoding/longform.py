@@ -25,7 +25,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..data.stno import slice_stno_for_seek
 from ..models.config import DiCoWConfig
 from ..models.dicow import dicow_encoder_forward, encoder_ctc_logits
 from .generation_config import GenerationConfig
@@ -37,6 +36,35 @@ from .greedy import greedy_decode
 _encoder_jit = jax.jit(dicow_encoder_forward,
                        static_argnames=("cfg", "remat"))
 _ctc_logits_jit = jax.jit(encoder_ctc_logits, static_argnames=("cfg",))
+
+
+@functools.partial(jax.jit, static_argnames=("nsf",))
+def _slice_windows_dev(features, stno, forced, meta, nsf: int):
+    """Device-side seek-window assembly. The full-recording features/STNO/
+    prompts stay resident on device for the whole longform call; each window
+    is a per-row dynamic_slice + tail masking — no host round trip (the host
+    path re-uploaded ~25 MB per window over the TPU link, which dominated
+    end-to-end decode time on a remoted chip).
+
+    features: (B, M, T+nsf) zero-padded; stno: (B, 4, (T+nsf)//2);
+    forced: (B, P) decoder prompts; meta: (4, bucket) int32 packed
+    [row ids; mel-frame seek offsets; valid mel frames; valid 50 Hz frames]
+    — one combined upload per window batch. Semantics match the host
+    assembly exactly: mel tail zeroed, STNO tail = silence."""
+    m = features.shape[1]
+    rows, seek_rows, n_mel, n_stno = meta
+
+    def one(r, s, nm, ns):
+        w = jax.lax.dynamic_slice(features[r], (0, s), (m, nsf))
+        w = jnp.where(jnp.arange(nsf)[None, :] < nm, w, 0.0)
+        sv = jax.lax.dynamic_slice(stno[r], (0, s // 2), (4, nsf // 2))
+        tail = jnp.arange(nsf // 2)[None, :] >= ns
+        sv = jnp.where(tail, 0.0, sv)
+        sv = sv.at[0].set(jnp.where(tail[0], 1.0, sv[0]))
+        return w, sv
+
+    windows, stno_w = jax.vmap(one)(rows, seek_rows, n_mel, n_stno)
+    return windows, stno_w, forced[rows]
 
 TIME_PRECISION = 0.02
 INPUT_STRIDE = 2              # conv2 stride
@@ -340,7 +368,13 @@ def longform_generate(
         n_data = 1
         _dev = jnp.asarray
 
-    input_features = np.asarray(input_features)
+    # full-recording features/STNO live on device for the whole call (the
+    # per-window assembly is a jitted dynamic_slice, _slice_windows_dev);
+    # zero-pad by one window so every seek slice is in-bounds
+    feats_dev = jnp.pad(jnp.asarray(input_features, jnp.float32),
+                        ((0, 0), (0, 0), (0, num_segment_frames)))
+    stno_dev = jnp.pad(jnp.asarray(stno_mask, jnp.float32),
+                       ((0, 0), (0, 0), (0, num_segment_frames // 2)))
 
     enroll_args = {}
     if enroll_features is not None:
@@ -349,18 +383,23 @@ def longform_generate(
 
     if detect_lang and gen_cfg.lang_ids:
         # language detection on the first window (generation.py:151-221)
-        first = input_features[:, :, :num_segment_frames]
-        pad_cols = num_segment_frames - first.shape[-1]
-        if pad_cols > 0:
-            first = np.pad(first, ((0, 0), (0, 0), (0, pad_cols)))
-        first_stno = slice_stno_for_seek(stno_mask, np.zeros(b, np.int64),
-                                         max_frames, num_segment_frames // 2)
+        meta0 = np.stack([
+            np.arange(b),
+            np.zeros(b, np.int64),
+            np.full(b, min(t_total, num_segment_frames)),
+            np.clip(max_frames // 2, 0, num_segment_frames // 2),
+        ]).astype(np.int32)
+        first, first_stno, _ = _slice_windows_dev(
+            feats_dev, stno_dev, jnp.zeros((b, 1), jnp.int32),
+            jnp.asarray(meta0), nsf=num_segment_frames)
         enc0 = _encoder_jit(params["encoder"], cfg,
                             _dev(first),
                             _dev(first_stno), **enroll_args)
         langs = detect_language(params, cfg, gen_cfg, enc0)
         forced_decoder_ids = np.asarray(forced_decoder_ids).copy()
         forced_decoder_ids[:, 1] = langs
+
+    forced_dev = jnp.asarray(np.asarray(forced_decoder_ids), jnp.int32)
 
     def _next_pow2(n: int) -> int:
         p = 1
@@ -387,17 +426,15 @@ def longform_generate(
 
         seek_num_frames_all = np.minimum(max_frames - seek, num_segment_frames)
         seek_num_frames_all = np.maximum(seek_num_frames_all, 0)
-        window = np.zeros((bucket, input_features.shape[1],
-                           num_segment_frames), dtype=np.float32)
-        for j, i in enumerate(rows):
-            n = int(seek_num_frames_all[i])
-            if n > 0:
-                window[j, :, :n] = input_features[i, :, seek[i]: seek[i] + n]
-        stno_window = slice_stno_for_seek(
-            stno_mask[rows], seek[rows], max_frames[rows],
-            num_segment_frames // 2)
+        seek_rows = seek[rows]
+        n_stno = np.clip(max_frames[rows] // 2 - seek_rows // 2, 0,
+                         num_segment_frames // 2)
+        meta = np.stack([rows, seek_rows, seek_num_frames_all[rows],
+                         n_stno]).astype(np.int32)
+        window, stno_window, forced_rows = _slice_windows_dev(
+            feats_dev, stno_dev, forced_dev, jnp.asarray(meta),
+            nsf=num_segment_frames)
         seek_num_frames = seek_num_frames_all
-        forced_rows = np.asarray(forced_decoder_ids)[rows]
 
         bucket_enroll = {}
         if enroll_args:
@@ -441,13 +478,18 @@ def longform_generate(
         # of each row wins; padded duplicates are ignored)
         sequences = np.zeros((b, out.sequences.shape[1]), dtype=np.int64)
         lengths = np.zeros(b, dtype=np.int64)
-        bucket_seq = np.asarray(out.sequences)
-        bucket_len = np.asarray(out.lengths)
+        # ONE device->host round trip per window batch (each separate
+        # np.asarray pays a full link RTT on a remoted TPU)
+        extra_names = [nm for nm in ("no_speech_probs", "sum_logprobs",
+                                     "scores") if hasattr(out, nm)]
+        fetched = jax.device_get(
+            (out.sequences, out.lengths)
+            + tuple(getattr(out, nm) for nm in extra_names))
+        bucket_seq = np.asarray(fetched[0])
+        bucket_len = np.asarray(fetched[1])
         seen_rows = set()
-        bucket_extra = {}
-        for name in ("no_speech_probs", "sum_logprobs", "scores"):
-            if hasattr(out, name):
-                bucket_extra[name] = np.asarray(getattr(out, name))
+        bucket_extra = dict(zip(extra_names,
+                                (np.asarray(a) for a in fetched[2:])))
         full_extra = {name: np.zeros(b, dtype=np.float64)
                       for name in bucket_extra}
         for j, i in enumerate(rows):
@@ -516,10 +558,12 @@ def longform_generate(
                     ctc_state=ctc_state_retry,
                     temperature=float(temp),
                     rng_key=jax.random.PRNGKey(int(seek.sum()) + t_i))
-                r_seq = np.asarray(retry.sequences)
-                r_len = np.asarray(retry.lengths)
-                r_lp = np.asarray(retry.sum_logprobs)
-                r_ns = np.asarray(retry.no_speech_probs)
+                r_seq, r_len, r_lp, r_ns = (np.asarray(a) for a in
+                                            jax.device_get((
+                                                retry.sequences,
+                                                retry.lengths,
+                                                retry.sum_logprobs,
+                                                retry.no_speech_probs)))
                 seen = set()
                 for j, i in enumerate(rows):
                     if i in seen:

@@ -314,7 +314,24 @@ def quantize_cross_kv(
 
 def _cross_attention(q: jax.Array, cross, dtype) -> jax.Array:
     """Cross-attention core: exact (k, v) tuple or int8 dict from
-    quantize_cross_kv. q is pre-scaled; shapes (B, H, T_q, hd)."""
+    quantize_cross_kv. q is pre-scaled; shapes (B, H, T_q, hd).
+
+    Beam sharing: when q's batch is a multiple n of the cache's batch
+    (beam search — n hypotheses per audio row), the n beams fold into the
+    query-position axis instead of repeating K/V per beam. Same math
+    (cross-attention has no position mask), but the dominant decode-step
+    HBM read — the cross K/V cache — shrinks n-fold, and the per-head
+    matmul grows from (1, T) to (n, T), which the MXU prefers."""
+    cache_b = (cross["k_q"] if isinstance(cross, dict) else cross[0]).shape[0]
+    bq = q.shape[0]
+    if bq != cache_b:
+        n = bq // cache_b
+        _, h, tq, hd = q.shape
+        qf = q.reshape(cache_b, n, h, tq, hd)
+        qf = jnp.moveaxis(qf, 1, 2).reshape(cache_b, h, n * tq, hd)
+        out = _cross_attention(qf, cross, dtype)
+        out = jnp.moveaxis(out.reshape(cache_b, h, n, tq, hd), 2, 1)
+        return out.reshape(bq, h, tq, hd)
     if isinstance(cross, dict):
         kd = cross["k_q"].astype(dtype)
         scores = jnp.einsum("bhqd,bhtd->bhqt", q, kd,
