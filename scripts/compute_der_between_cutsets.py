@@ -16,6 +16,9 @@ from pathlib import Path
 
 import numpy as np
 from scipy.optimize import linear_sum_assignment
+import sys
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def speaker_frames(cut, step=0.01):

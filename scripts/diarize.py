@@ -17,6 +17,9 @@ from __future__ import annotations
 import argparse
 import tempfile
 from pathlib import Path
+import sys
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def write_rttm(path: Path, rec_id: str, segments):

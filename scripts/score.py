@@ -13,6 +13,9 @@ import csv
 import json
 from concurrent.futures import ProcessPoolExecutor
 from pathlib import Path
+import sys
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def score_session(args):
