@@ -32,12 +32,18 @@ import numpy as np
 from ..ops.ctc_prefix import (
     LOG_ZERO,
     ctc_prefix_scores,
+    ctc_psi_matmul,
     initial_ctc_state,
 )
 
 
 class CTCState(NamedTuple):
-    logp_vt: jax.Array       # (B_audio, V, T) case-folded log-probs
+    logp_vt: jax.Array            # (B_audio, V, T) case-folded log-probs,
+    #                               vocab-major: single-token column reads
+    #                               (update_state, last-label fixup) are
+    #                               contiguous T-rows
+    p_tv: Optional[jax.Array]     # (B_audio, T, V) probabilities, time-major
+    #                               for the beam-shared psi matmul (n>1 only)
     audio_idx: jax.Array     # (Bb,) hypothesis -> audio row
     r_prev: jax.Array        # (Bb, T, 2)
     score_prev: jax.Array    # (Bb,)
@@ -52,7 +58,13 @@ def init_ctc_state(enc_logits: jax.Array, blank: int,
     """enc_logits: (B_audio, T, V) raw CTC-head logits.
     upper_to_lower: (2, n_pairs) [upper_ids; lower_ids] — upper-case token
     columns take their lower-case column's probability
-    (decoding.py:183-186)."""
+    (decoding.py:183-186).
+
+    Layout depends on the decode mode: beams (num_beams > 1) share one
+    audio row's CTC posterior, so psi is computed for the whole vocab with
+    one MXU matmul over time-major probabilities (ops/ctc_prefix.py::
+    ctc_psi_matmul); single-hypothesis decode keeps vocab-major log-probs
+    and gathers the K candidates' rows."""
     logp = jax.nn.log_softmax(enc_logits.astype(jnp.float32), axis=-1)
     if upper_to_lower is not None and np.asarray(upper_to_lower).size:
         upper = jnp.asarray(upper_to_lower[0])
@@ -64,6 +76,7 @@ def init_ctc_state(enc_logits: jax.Array, blank: int,
     r0, s0 = initial_ctc_state(logp, blank)
     return CTCState(
         logp_vt=jnp.swapaxes(logp, 1, 2),
+        p_tv=jnp.exp(logp) if num_beams > 1 else None,
         audio_idx=audio_idx,
         r_prev=r0[audio_idx],
         score_prev=jnp.zeros((bb,), jnp.float32),
@@ -120,19 +133,35 @@ class CTCRescorer:
         cand_ids = cand_ids.at[:, self.k - 1].set(
             jnp.where(has_eos, cand_ids[:, self.k - 1], self.eos_id))
 
-        # log_psi comes from the closed form alone — the O(K·T) alpha
-        # recursion is deferred to update_state, which runs it only for the
-        # single chosen token (the reference materializes states for all K
-        # candidates every step, decoding.py:309-338)
-        log_psi, _ = ctc_prefix_scores(
-            state.logp_vt, state.audio_idx, cand_ids, state.r_prev,
-            decoded_len, last_label, self.blank_id, self.eos_id,
-            with_states=False)
+        if state.p_tv is not None:
+            # beam mode: psi for the whole vocab in one beam-shared matmul,
+            # then restrict to the top-K candidate set (the reference only
+            # ever scores/updates those, decoding.py:309-338); the
+            # last-label column comes from the vocab-major copy where it is
+            # a contiguous T-row
+            xl = state.logp_vt[state.audio_idx,
+                               last_label.astype(jnp.int32)]  # (Bb, T)
+            psi_all = ctc_psi_matmul(
+                state.p_tv, xl, state.r_prev, decoded_len,
+                last_label, self.blank_id, self.eos_id)
+            mask = jnp.zeros((bb, v_dec), bool)
+            mask = jax.vmap(lambda row, idx: row.at[idx].set(True))(
+                mask, cand_ids)
+            tmp = jnp.where(mask, psi_all[:, :v_dec], LOG_ZERO)
+        else:
+            # log_psi comes from the closed form alone — the O(K·T) alpha
+            # recursion is deferred to update_state, which runs it only for
+            # the single chosen token (the reference materializes states for
+            # all K candidates every step, decoding.py:309-338)
+            log_psi, _ = ctc_prefix_scores(
+                state.logp_vt, state.audio_idx, cand_ids, state.r_prev,
+                decoded_len, last_label, self.blank_id, self.eos_id,
+                with_states=False)
 
-        # scatter psi back over the decoder vocab; unscored tokens at -inf
-        tmp = jnp.full((bb, v_dec), LOG_ZERO, jnp.float32)
-        tmp = jax.vmap(lambda row, idx, val: row.at[idx].set(val))(
-            tmp, cand_ids, log_psi)
+            # scatter psi over the decoder vocab; unscored tokens at -inf
+            tmp = jnp.full((bb, v_dec), LOG_ZERO, jnp.float32)
+            tmp = jax.vmap(lambda row, idx, val: row.at[idx].set(val))(
+                tmp, cand_ids, log_psi)
         # timestamp transparency: ts tokens get the row max (decoding.py:330)
         row_max = tmp.max(axis=1, keepdims=True)
         vocab_ids = jnp.arange(v_dec)
@@ -160,7 +189,7 @@ class CTCRescorer:
         last_label = state.last_label[beam_idx]
 
         # alpha recursion for the single chosen token (same formula that
-        # produced its rescore psi, so values match the gathered candidate)
+        # produced its rescore psi, so values match the scored candidate)
         chosen_score, chosen_state = ctc_prefix_scores(
             state.logp_vt, state.audio_idx[beam_idx],
             next_tokens[:, None].astype(jnp.int32), r_prev,

@@ -57,9 +57,6 @@ def ctc_prefix_scores(
     """Returns (log_psi (Bb, K), new_states (Bb, K, T, 2)); with
     ``with_states=False`` skips the alpha recursion (log_psi alone is the
     closed form) and returns None states."""
-    bb, k = cand_ids.shape
-    t_len = logp_vt.shape[2]
-
     # gather contiguous T-rows per candidate — expanding to (Bb, T, V)
     # first would materialize GBs at beam-search scale, and a time-major
     # gather strides by V (measured 101 ms vs 5.9 ms at beam-5 scale)
@@ -67,6 +64,83 @@ def ctc_prefix_scores(
         logp_vt[audio_idx[:, None], cand_ids.astype(jnp.int32)],
         1, 2)                                               # (Bb, T, K)
     x_blank = logp_vt[audio_idx, blank]                     # (Bb, T)
+    return ctc_prefix_scores_from_xs(xs, x_blank, cand_ids, r_prev,
+                                     decoded_len, last_label, blank, eos,
+                                     with_states=with_states)
+
+
+def ctc_psi_matmul(
+    p_tv: jax.Array,        # (B_audio, T, V) case-folded CTC probabilities
+    x_last: jax.Array,      # (Bb, T) log-probs of each hyp's last label
+    r_prev: jax.Array,      # (Bb, T, 2)
+    decoded_len: jax.Array,  # (Bb,)
+    last_label: jax.Array,  # (Bb,)
+    blank: int,
+    eos: int,
+) -> jax.Array:
+    """Closed-form log(psi) for EVERY vocab token at once, as one MXU
+    matmul in the probability domain: with per-hypothesis weights
+    w[t] = exp(phi[t-1] - M) (M = max phi, so w <= 1 and the fp32 sum is
+    exact to ~1e-6 of the log-semiring reduction),
+
+        psi[v] = M + log( sum_t w[t] * P[t, v] ).
+
+    Beams of an audio row share P, so the dominant read (P itself) is
+    amortized n_beams-fold — unlike the per-candidate gather, whose
+    (Bb, K, T) reads scale with beams (measured 3.4 ms/step gather vs
+    2.7 ms/step matmul at beam-5 batch-8, large-v3-turbo). Only worth it
+    when Bb > B_audio; the n=1 path keeps the K-candidate gather.
+
+    Returns psi (Bb, V) with the reference's eos/blank/last-label
+    semantics applied (decoding.py:309-338)."""
+    b_audio, t_len, v = p_tv.shape
+    bb = r_prev.shape[0]
+    n = bb // b_audio
+
+    r_sum = _logaddexp(r_prev[..., 0], r_prev[..., 1])      # (Bb, T)
+    t_idx = jnp.arange(1, t_len)
+    mask_t = t_idx[None, :] >= decoded_len[:, None]         # (Bb, T-1)
+    phi = jnp.where(mask_t, r_sum[:, :-1], LOG_ZERO)        # (Bb, T-1)
+    init_w = (decoded_len == 0)                             # (Bb,)
+    m = jnp.maximum(phi.max(axis=1), jnp.where(init_w, 0.0, LOG_ZERO))
+    w = jnp.concatenate(
+        [jnp.where(init_w, -m, LOG_ZERO)[:, None], phi - m[:, None]],
+        axis=1)                                             # (Bb, T)
+    w = jnp.where(w > LOG_ZERO / 2, jnp.exp(jnp.maximum(w, -87.0)), 0.0)
+    psi = jnp.einsum("bnt,btv->bnv", w.reshape(b_audio, n, t_len), p_tv,
+                     preferred_element_type=jnp.float32)
+    psi = jnp.log(jnp.maximum(psi, 1e-38)).reshape(bb, v) + m[:, None]
+
+    # last-label correction: candidates equal to the last emitted label may
+    # only extend blank-ending paths (phi = r_b) — at most one column per
+    # hypothesis, recomputed exactly from the caller-supplied column
+    has_match = (decoded_len > 0)
+    summand = jnp.where(mask_t, r_prev[:, :-1, 1] + x_last[:, 1:], LOG_ZERO)
+    psi_match = jax.nn.logsumexp(summand, axis=1)           # (Bb,)
+    vocab_ids = jnp.arange(v)
+    is_match_col = (vocab_ids[None, :] == last_label[:, None]) \
+        & has_match[:, None]
+    psi = jnp.where(is_match_col, psi_match[:, None], psi)
+
+    psi = psi.at[:, eos].set(r_sum[:, -1])
+    if eos != blank:
+        psi = psi.at[:, blank].set(LOG_ZERO)
+    return psi
+
+
+def ctc_prefix_scores_from_xs(
+    xs: jax.Array,          # (Bb, T, K) candidate log-probs per frame
+    x_blank: jax.Array,     # (Bb, T) blank log-probs per frame
+    cand_ids: jax.Array,    # (Bb, K)
+    r_prev: jax.Array,      # (Bb, T, 2) prefix state
+    decoded_len: jax.Array,  # (Bb,)
+    last_label: jax.Array,  # (Bb,)
+    blank: int,
+    eos: int,
+    with_states: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    bb, k = cand_ids.shape
+    t_len = xs.shape[1]
 
     # phi[b,t,k]: forward mass of prefix g usable before emitting c at t+1;
     # when c == last label, only the blank-ending path counts
