@@ -95,3 +95,40 @@ def test_dp_matches_single_device():
         jax.device_put, params, param_shardings(params, mesh, False))
     loss_mesh = float(eval_fn(sharded_params, shard_batch(batch, mesh))["loss"])
     np.testing.assert_allclose(loss_mesh, loss_single, rtol=1e-5)
+
+
+def test_tp_shardings_and_train_step():
+    """dp x tp mesh: Megatron-style column/row placement lands on the
+    right axes, the jitted train step runs, and the loss matches the
+    single-device value (TP is a pure re-layout)."""
+    mesh = make_mesh((4, 2), ("data", "model"))
+    params = init_dicow(jax.random.PRNGKey(0), CFG)
+    shardings = param_shardings(params, mesh, shard_params=True,
+                                tp_axis="model")
+    layers = shardings["encoder"]["layers"]
+    assert layers["self_attn"]["q_proj"]["kernel"].spec == P("data", None, "model")
+    assert layers["self_attn"]["out_proj"]["kernel"].spec == P("data", "model")
+    assert layers["fc1"]["kernel"].spec == P("data", None, "model")
+    assert layers["fc1"]["bias"].spec == P("data", "model")
+    assert layers["fc2"]["kernel"].spec == P("data", "model")
+    assert layers["fc2"]["bias"].spec == P("data")
+    assert shardings["encoder"]["layer_norm"]["scale"].spec == P()
+
+    params_tp = jax.tree.map(jax.device_put, params, shardings)
+    cfg = Cfg()
+    cfg.training.use_custom_optimizer = True
+    cfg.training.warmup_steps = 0
+    tx, opt_state = build_optimizer(params_tp, cfg.training,
+                                    prefixes_to_preheat=["encoder/fddts"],
+                                    frozen_keywords=[])
+    step_fn, eval_fn = make_train_step(CFG, tx, num_prefix_tokens=2)
+    batch = _batch(8)
+    loss_single = float(eval_fn(params, batch)["loss"])
+
+    dev_batch = shard_batch(batch, mesh)
+    params2, opt_state, parts = step_fn(params_tp, opt_state, dev_batch)
+    assert np.isfinite(float(parts["grad_norm"]))
+    np.testing.assert_allclose(float(parts["loss"]), loss_single, rtol=1e-5)
+    # updated params keep their TP placement (no silent re-replication)
+    q_after = params2["encoder"]["layers"]["self_attn"]["q_proj"]["kernel"]
+    assert q_after.sharding.spec == P("data", None, "model")

@@ -223,7 +223,10 @@ class TrainingConfig:
     save_visualizations: bool = False
     report_to: Optional[Any] = None
 
-    # TPU-native parallelism (replaces torchrun/DDP/FSDP passthrough)
+    # TPU-native parallelism (replaces torchrun/DDP/FSDP passthrough).
+    # A 'model' axis (e.g. mesh_shape=[4,2], mesh_axis_names=[data,model])
+    # additionally tensor-shards attention/MLP projections Megatron-style
+    # (parallel/mesh.py::param_shardings); composes with shard_params.
     mesh_shape: Optional[List[int]] = None   # None -> (n_devices,)
     mesh_axis_names: List[str] = field(default_factory=lambda: ["data"])
     shard_params: bool = False               # ZeRO-like param sharding over 'data'

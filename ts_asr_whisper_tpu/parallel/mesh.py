@@ -45,19 +45,46 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+# Megatron-style tensor-parallel placement by parameter name: column-shard
+# the projections whose outputs are head-/ffn-parallel, row-shard the ones
+# that contract back to the model dim (XLA GSPMD inserts the psum). The
+# reference has no TP (SURVEY.md §2c: DDP only); this is the TPU-native
+# scaling axis for models whose layer weights outgrow one chip's HBM.
+_TP_COL = ("q_proj/kernel", "k_proj/kernel", "v_proj/kernel", "fc1/kernel",
+           "q_proj/bias", "v_proj/bias", "fc1/bias")
+_TP_ROW = ("out_proj/kernel", "fc2/kernel")
+
+
 def param_shardings(params, mesh: Mesh, shard_params: bool = False,
-                    axis: str = "data"):
+                    axis: str = "data", tp_axis: Optional[str] = None):
     """Replicated by default; with ``shard_params`` each leaf with a leading
-    axis divisible by the mesh size is sharded on axis 0 (ZeRO-ish)."""
+    axis divisible by the mesh size is sharded on axis 0 (ZeRO-ish). With
+    ``tp_axis`` (an axis name present in the mesh) attention/MLP projections
+    are additionally tensor-sharded Megatron-style — both compose, e.g.
+    stacked layer weights (L, d_in, d_out) can carry P('data', None,
+    'model')."""
     n = mesh.shape[axis]
+    tp = mesh.shape[tp_axis] if tp_axis and tp_axis in mesh.shape else 0
 
-    def leaf_sharding(leaf):
-        if (shard_params and hasattr(leaf, "shape") and leaf.ndim >= 2
+    def leaf_sharding(path, leaf):
+        if not hasattr(leaf, "shape"):
+            return NamedSharding(mesh, P())
+        dims = [None] * leaf.ndim
+        if (shard_params and leaf.ndim >= 2
                 and leaf.shape[0] % n == 0 and leaf.shape[0] >= n):
-            return NamedSharding(mesh, P(axis))
-        return NamedSharding(mesh, P())
+            dims[0] = axis
+        if tp > 1:
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            if name.endswith(_TP_COL) and leaf.shape[-1] % tp == 0:
+                dims[-1] = tp_axis
+            elif (name.endswith(_TP_ROW) and leaf.ndim >= 2
+                    and leaf.shape[-2] % tp == 0):
+                dims[-2] = tp_axis
+        while dims and dims[-1] is None:
+            dims.pop()
+        return NamedSharding(mesh, P(*dims))
 
-    return jax.tree.map(leaf_sharding, params)
+    return jax.tree_util.tree_map_with_path(leaf_sharding, params)
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):

@@ -156,7 +156,9 @@ class Trainer:
 
         if start_step >= self._preheat_steps:
             phase = "base"
-        shardings = param_shardings(params, self.mesh, t.shard_params)
+        tp_axis = "model" if "model" in self.mesh.axis_names else None
+        shardings = param_shardings(params, self.mesh, t.shard_params,
+                                    tp_axis=tp_axis)
         params = jax.tree.map(jax.device_put, params, shardings)
         tx, opt_state = self._build_tx(params, preheat_only=(phase == "preheat"))
         self.tx = tx
