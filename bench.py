@@ -104,7 +104,6 @@ def _bench_longform(num_beams: int, ctc_weight: float, batch: int,
 
 def _bench_train_step(batch: int = 8):
     import jax
-    import optax
 
     from ts_asr_whisper_tpu.config import Cfg
     from ts_asr_whisper_tpu.models.config import make_config
@@ -125,16 +124,19 @@ def _bench_train_step(batch: int = 8):
     t.max_steps = 1000
     t.warmup_steps = 100
     params = init_dicow(jax.random.PRNGKey(0), cfg)
-    import jax.numpy as jnp
 
-    tx = optax.chain(
-        optax.clip_by_global_norm(t.max_grad_norm),
-        optax.adamw(2e-6, mu_dtype=jnp.bfloat16))
-    opt_state = tx.init(params)
-    # the dicow_v3 fine-tune recipe: decoder frozen
-    # (configs/train/dicow_v3.yaml params_to_keep_frozen_keywords)
-    from ts_asr_whisper_tpu.training.optim import trainable_mask
+    # the dicow_v3 fine-tune recipe: decoder frozen (configs/train/
+    # dicow_v3.yaml params_to_keep_frozen_keywords), built through the real
+    # optimizer path — multi_transform allocates NO Adam state for frozen
+    # params, which is what lets larger batches fit
+    from ts_asr_whisper_tpu.training.optim import (
+        build_optimizer,
+        trainable_mask,
+    )
 
+    t.adam_mu_dtype = "bfloat16"
+    tx, opt_state = build_optimizer(params, t,
+                                    frozen_keywords=("decoder",))
     mask = trainable_mask(params, (), ("decoder",), preheat_only=False)
     step_fn, _ = make_train_step(cfg, tx, num_prefix_tokens=3, remat=True,
                                  trainable_mask=mask)

@@ -173,3 +173,33 @@ def test_greedy_terminates_and_pads(setup):
     lens = np.asarray(out.lengths)
     assert (lens <= 10).all() and (lens >= 2).all()
     assert np.isfinite(np.asarray(out.no_speech_probs)).all()
+
+
+def test_repetition_penalty_matches_hf(rng):
+    """Fused repetition penalty == HF RepetitionPenaltyLogitsProcessor,
+    including prompt tokens and padded-buffer exclusion."""
+    from transformers.generation.logits_process import (
+        RepetitionPenaltyLogitsProcessor,
+    )
+
+    gen_cfg = GenerationConfig(
+        eos_token_id=EOS, pad_token_id=EOS, decoder_start_token_id=SOT,
+        no_timestamps_token_id=NO_TS, max_length=64,
+        suppress_tokens=(), begin_suppress_tokens=(),
+        return_timestamps=False, repetition_penalty=1.35)
+    prompt_len = 2
+    process = make_logits_processor(gen_cfg, begin_index=prompt_len)
+    hf = RepetitionPenaltyLogitsProcessor(1.35)
+
+    traj = np.array([[SOT, 50, 40, 41, 40, 42],
+                     [SOT, 50, 9, 9, 55, 56]], dtype=np.int64)
+    for cur_len in range(prompt_len, traj.shape[1]):
+        scores = (rng.standard_normal((2, V)).astype(np.float32) * 3)
+        ref = hf(torch.tensor(traj[:, :cur_len]),
+                 torch.tensor(scores)).numpy()
+        buf = np.full((2, traj.shape[1]), 1234, dtype=np.int32)
+        buf[:, :cur_len] = traj[:, :cur_len]
+        ours = np.asarray(process(jnp.asarray(scores), jnp.asarray(buf),
+                                  jnp.asarray(cur_len)))
+        np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6,
+                                   err_msg=f"mismatch at len {cur_len}")

@@ -101,8 +101,26 @@ def make_logits_processor(gen_cfg: GenerationConfig, begin_index: int):
     suppress = tuple(gen_cfg.suppress_tokens or ())
     begin_suppress = tuple(gen_cfg.begin_suppress_tokens or ())
 
+    rep = gen_cfg.repetition_penalty
+
     def process(scores: jax.Array, tokens: jax.Array, cur_len: jax.Array):
         scores = scores.astype(jnp.float32)
+        if rep is not None and rep != 1.0:
+            # HF RepetitionPenaltyLogitsProcessor: every token already in
+            # the sequence (prompt included) has score*p if negative else
+            # score/p. Chain position matches HF generate: before the
+            # suppress/timestamp processors (greedy sees raw logits, beam
+            # sees post-log-softmax scores — as in HF's _sample/_beam_search)
+            b, v = scores.shape
+            pos = jnp.arange(tokens.shape[1])
+            valid = pos[None, :] < cur_len
+            ids = jnp.where(valid, tokens, v)  # out-of-range rows dropped
+            present = jnp.zeros((b, v), bool).at[
+                jnp.arange(b)[:, None], ids].set(True, mode="drop")
+            scores = jnp.where(present,
+                               jnp.where(scores < 0, scores * rep,
+                                         scores / rep),
+                               scores)
         if begin_suppress:
             at_begin = (cur_len == begin_index)
             masked = _mask_tokens(scores, begin_suppress)

@@ -47,6 +47,7 @@ def make_generation_config(container: WhisperContainer, cfg: Cfg,
         return_timestamps=predict_timestamps,
         ctc_weight=cfg.decoding.decoding_ctc_weight or 0.0,
         length_penalty=cfg.decoding.length_penalty or 1.0,
+        repetition_penalty=cfg.decoding.repetition_penalty,
         cross_kv_quant=cfg.decoding.cross_kv_quant,
         begin_suppress_tokens=(),
         max_initial_timestamp_index=None,
