@@ -125,7 +125,8 @@ def test_train_few_steps_and_decode(corpus, tmp_path):
 
     out_dir = tmp_path / "exp"
     cfg = load_config(_base_overrides(corpus, out_dir)
-                      + ["training.max_steps=3"], n_devices=1)
+                      + ["training.max_steps=3", "training.store_src=true"],
+                      n_devices=1)
     cfg.training.mesh_shape = [1]
     trainer = ModelTrainer(cfg)
     metrics = trainer.train()
@@ -133,6 +134,9 @@ def test_train_few_steps_and_decode(corpus, tmp_path):
     key = [k for k in metrics if k.endswith("tcp_wer")]
     assert key, metrics
     assert (out_dir / "hf_export" / "model.safetensors").exists()
+    # store_src artifacts (reference wandb config+src upload equivalent)
+    assert (out_dir / "config.yaml").exists()
+    assert (out_dir / "src.tar.gz").exists()
     # per-session outputs written
     wer_csvs = list(out_dir.rglob("all_session_wer.csv"))
     assert wer_csvs

@@ -119,3 +119,43 @@ def test_best_model_improving_last(tmp_path):
                               tmp_path=tmp_path)
     assert evals == [2, 4]
     assert [s for _, s in bests] == [2, 4]
+
+
+def test_preheat_epochs_gate_unfreeze(tmp_path):
+    """use_fddt_only_n_epochs: the preheat phase persists until BOTH the
+    step and epoch thresholds pass (reference trainers.py:122)."""
+    cfg = _cfg(tmp_path, max_steps=6, eval_strategy="no", save_strategy="no",
+               use_fddt=True, use_fddt_only_n_steps=1,
+               use_fddt_only_n_epochs=2)
+    params = init_dicow(jax.random.PRNGKey(0), CFG)
+    cfg.model.prefixes_to_preheat = ["encoder/conv1"]
+    trainer = Trainer(cfg, CFG, params, num_prefix_tokens=2,
+                      steps_per_epoch=2)
+    phases = []
+
+    orig = trainer._maybe_unfreeze
+
+    def spy():
+        orig()
+        phases.append((trainer.state.step, trainer.state.phase))
+
+    trainer._maybe_unfreeze = spy
+    trainer.train(_batch() for _ in range(10))
+    by_step = dict(phases)
+    # steps 1-3 still preheat (epoch threshold 2 epochs = 4 steps)
+    assert by_step[1] == "preheat" and by_step[3] == "preheat"
+    assert by_step[4] == "base" and by_step[5] == "base"
+
+
+def test_watch_grads_logs_module_norms(tmp_path):
+    cfg = _cfg(tmp_path, max_steps=1, eval_strategy="no", save_strategy="no",
+               watch_grads=True)
+    params = init_dicow(jax.random.PRNGKey(0), CFG)
+    trainer = Trainer(cfg, CFG, params, num_prefix_tokens=2)
+    step_fn, _ = trainer._steps
+    p2, _, parts = step_fn(trainer.state.params, trainer.state.opt_state,
+                           _batch())
+    keys = [k for k in parts if k.startswith("grad_norm/")]
+    assert any("encoder" in k for k in keys)
+    assert any("decoder" in k for k in keys)
+    assert all(np.isfinite(float(parts[k])) for k in keys)

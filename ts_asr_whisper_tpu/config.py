@@ -82,6 +82,8 @@ class ModelConfig:
 class DataConfig:
     """Mirrors reference DataArguments (training_args.py:124-175)."""
 
+    # accepted for config-name parity; the reference declares this but never
+    # reads it either (training_args.py:125 is its only occurrence there)
     use_libri: bool = False
     train_cutsets: List[str] = field(default_factory=list)
     dev_cutsets: List[str] = field(default_factory=list)
@@ -153,6 +155,9 @@ class TrainingConfig:
     Seq2SeqTrainingArguments surface (training_args.py:12-277 +
     configs/base.yaml) with TPU-native replacements for DDP/CUDA knobs."""
 
+    # accepted for config-name parity; like the reference (whose train()
+    # runs unconditionally, train.py:238-240), mode selection is via
+    # decode_only / pretrain_encoder, not this HF-inherited flag
     do_train: bool = False
     decode_only: bool = False
     pretrain_encoder: bool = False

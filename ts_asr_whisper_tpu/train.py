@@ -154,7 +154,8 @@ class ModelTrainer:
 
     # -- evaluation ------------------------------------------------------------
     def evaluate_dataset(self, params, name: str, dataset,
-                         output_dir: str) -> Dict[str, float]:
+                         output_dir: str,
+                         metrics_list=None) -> Dict[str, float]:
         tok = self.container.tokenizer
         mc = self.container.model_config
         import jax
@@ -207,11 +208,39 @@ class ModelTrainer:
                 keys.append(tok.decode(row, skip_special_tokens=True))
         return compute_longform_metrics(
             preds, keys, dataset, tok, output_dir, self.eval_text_norm,
-            metrics_list=self.cfg.training.eval_metrics_list,
+            metrics_list=metrics_list or self.cfg.training.eval_metrics_list,
             save_visualizations=self.cfg.training.save_visualizations)
+
+    def _store_run_artifacts(self):
+        """training.store_src: persist the composed config and a source
+        snapshot next to the run (the reference uploads both to wandb,
+        general.py:113-135; here they land in output_dir so runs are
+        reproducible without a wandb backend)."""
+        import dataclasses
+        import tarfile
+
+        out = Path(self.cfg.training.output_dir)
+        try:
+            import yaml
+
+            with open(out / "config.yaml", "w") as f:
+                yaml.safe_dump(dataclasses.asdict(self.cfg), f,
+                               default_flow_style=False)
+        except Exception:  # config still recoverable from the src snapshot
+            logger.exception("store_src: could not serialize config")
+        pkg_root = Path(__file__).resolve().parent
+        with tarfile.open(out / "src.tar.gz", "w:gz") as tar:
+            for py in sorted(pkg_root.rglob("*.py")):
+                tar.add(py, arcname=str(py.relative_to(pkg_root.parent)))
+        logger.info("store_src: wrote config.yaml + src.tar.gz to %s", out)
 
     def do_eval(self, params, datasets: Dict[str, object], step: int,
                 split: str) -> Dict[str, float]:
+        # reference train.py:150-193: in-training dev evals score
+        # train_metrics_list; the final test eval scores eval_metrics_list
+        metrics_list = (self.cfg.training.train_metrics_list
+                        if split == "dev"
+                        else self.cfg.training.eval_metrics_list)
         # bf16 eval (reference trainers.py autocast equivalent): bf16 weights
         # halve decode weight streaming
         if (self.cfg.training.bf16_full_eval
@@ -225,13 +254,14 @@ class ModelTrainer:
         out_root = Path(self.cfg.training.output_dir)
         for name, ds in datasets.items():
             out_dir = out_root / f"{split}_{name}" / f"step_{step}"
-            res = self.evaluate_dataset(params, name, ds, str(out_dir))
+            res = self.evaluate_dataset(params, name, ds, str(out_dir),
+                                        metrics_list=metrics_list)
             metrics.update({f"eval_{name}_{k}": v for k, v in res.items()})
             logger.info("eval %s@%d: %s", name, step,
                         {k: round(v, 4) for k, v in res.items()})
         # combined cross-split stats (reference trainers.py:209-227)
         if self.cfg.training.compute_combined_metrics or len(datasets) > 1:
-            for m in self.cfg.training.eval_metrics_list:
+            for m in metrics_list:
                 prefix = m.split("_", 1)[0]
                 errors = sum(v for k, v in metrics.items()
                              if k.endswith(f"_{prefix}_errors"))
@@ -303,6 +333,8 @@ class ModelTrainer:
     def train(self):
         t = self.cfg.training
         os.makedirs(t.output_dir, exist_ok=True)
+        if t.store_src:
+            self._store_run_artifacts()
 
         if t.decode_only:
             if not self.eval_datasets:
@@ -332,6 +364,12 @@ class ModelTrainer:
 
         def eval_fn(params, step):
             return self.do_eval(params, self.dev_datasets, step, "dev")
+
+        if not t.predict_with_generate:
+            # reference train.py:159-167: compute_metrics is only attached
+            # when predict_with_generate is set; without it dev evals
+            # (and their early-stopping signal) are skipped
+            eval_fn = None
 
         def checkpoint_fn(params, step):
             save_checkpoint(os.path.join(t.output_dir, "ckpt"), params,
@@ -376,7 +414,9 @@ class ModelTrainer:
         export_hf_checkpoint(final_params, self.container.model_config,
                              os.path.join(t.output_dir, "hf_export"),
                              generation_config=gen_json)
-        if self.eval_datasets:
+        # reference train.py:245: the final generate-eval is gated on
+        # predict_with_generate (the in-training dev evals likewise)
+        if self.eval_datasets and t.predict_with_generate:
             return self.do_eval(final_params, self.eval_datasets,
                                 state.step, "test")
         return {}

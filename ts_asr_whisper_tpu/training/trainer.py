@@ -43,14 +43,18 @@ def shift_tokens_right(labels: jax.Array, pad_token_id: int,
 
 def make_train_step(model_cfg: DiCoWConfig, tx: optax.GradientTransformation,
                     num_prefix_tokens: int, remat: bool = False,
-                    trainable_mask=None):
+                    trainable_mask=None, watch_grads: bool = False):
     """Build the jitted train step. Batch keys: input_features, stno_mask,
     labels, upp_labels [, enroll_features, enroll_stno].
 
     ``trainable_mask`` (bool pytree) stops gradients through frozen params
     INSIDE the loss: XLA then skips their backward compute and never
     materializes their gradient buffers (the optimizer's set_to_zero alone
-    still pays both)."""
+    still pays both).
+
+    ``watch_grads`` adds per-top-level-module gradient norms to the step
+    metrics (the reference's wandb.watch gradient telemetry,
+    train.py:171-172 + trainers.py GradLogger)."""
 
     def loss_fn(params, batch):
         if trainable_mask is not None:
@@ -88,6 +92,14 @@ def make_train_step(model_cfg: DiCoWConfig, tx: optax.GradientTransformation,
         params = optax.apply_updates(params, updates)
         gnorm = optax.global_norm(grads)
         parts = dict(parts, grad_norm=gnorm)
+        if watch_grads:
+            for top_key, sub in grads.items():
+                if isinstance(sub, dict):
+                    for mod_key, leaves in sub.items():
+                        parts[f"grad_norm/{top_key}/{mod_key}"] = \
+                            optax.global_norm(leaves)
+                else:
+                    parts[f"grad_norm/{top_key}"] = optax.global_norm(sub)
         return params, opt_state, parts
 
     @jax.jit
@@ -152,9 +164,14 @@ class Trainer:
             use_wandb=bool(t.report_to) and "wandb" in str(t.report_to),
             project=cfg.wandb.project)
         self._preheat_steps = t.use_fddt_only_n_steps if t.use_fddt else 0
-        phase = "preheat" if self._preheat_steps > 0 else "base"
+        self._preheat_epochs = t.use_fddt_only_n_epochs if t.use_fddt else 0
+        phase = ("preheat" if (self._preheat_steps > 0
+                               or self._preheat_epochs > 0) else "base")
 
-        if start_step >= self._preheat_steps:
+        start_epochs = (start_step // steps_per_epoch
+                        if steps_per_epoch else self._preheat_epochs)
+        if (start_step >= self._preheat_steps
+                and start_epochs >= self._preheat_epochs):
             phase = "base"
         tp_axis = "model" if "model" in self.mesh.axis_names else None
         shardings = param_shardings(params, self.mesh, t.shard_params,
@@ -191,11 +208,19 @@ class Trainer:
             preheat_only=(self.state.phase == "preheat"))
         return make_train_step(self.model_cfg, tx, self.num_prefix_tokens,
                                remat=self.cfg.training.gradient_checkpointing,
-                               trainable_mask=mask)
+                               trainable_mask=mask,
+                               watch_grads=self.cfg.training.watch_grads)
 
     # -- phases --------------------------------------------------------------
     def _maybe_unfreeze(self):
+        # reference trainers.py:122: the preheat phase ends only once BOTH
+        # the step threshold (use_fddt_only_n_steps) and the epoch threshold
+        # (use_fddt_only_n_epochs) have passed. Without a known epoch length
+        # the epoch threshold is vacuous (cannot deadlock the unfreeze).
+        epochs_done = (self.state.step // self.steps_per_epoch
+                       if self.steps_per_epoch else self._preheat_epochs)
         if (self.state.phase == "preheat"
+                and epochs_done >= self._preheat_epochs
                 and self.state.step >= self._preheat_steps):
             logger.info("Unfreezing at step %d (fresh optimizer state, "
                         "reference trainers.py:116-139)", self.state.step)
