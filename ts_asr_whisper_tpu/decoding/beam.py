@@ -193,12 +193,13 @@ def beam_search(
         flat_beam_idx = (jnp.arange(b)[:, None] * n + chosen_beam).reshape(bb)
 
         def _reorder(v):
-            # v: (L, Bb, H, T, hd) -> group (L, B, n, H*T*hd); one nonzero
-            # per output row, so the matmul-select is exact in any dtype
+            # v: (L, Bb, H, T, hd), Bb = b*n contiguous — splitting the beam
+            # axis is a free bitcast view; one nonzero per output row, so
+            # the matmul-select is exact in any dtype
             l_, _, h_, t_, d_ = v.shape
             onehot = jax.nn.one_hot(chosen_beam, n, dtype=v.dtype)  # (B,n,n)
-            g = v.reshape(l_, b, n, h_ * t_ * d_)
-            out = jnp.einsum("boi,lbif->lbof", onehot, g)
+            g = v.reshape(l_, b, n, h_, t_, d_)
+            out = jnp.einsum("boi,lbihtd->lbohtd", onehot, g)
             return out.reshape(v.shape)
 
         cache = {k: _reorder(v) for k, v in c.cache.items()}

@@ -74,13 +74,17 @@ def init_ctc_state(enc_logits: jax.Array, blank: int,
     bb = b_audio * num_beams
     audio_idx = jnp.arange(bb) // num_beams
     r0, s0 = initial_ctc_state(logp, blank)
+    v_dec = logp.shape[-1] - 1  # decoder vocab (ctc vocab minus blank)
     return CTCState(
         logp_vt=jnp.swapaxes(logp, 1, 2),
         p_tv=jnp.exp(logp) if num_beams > 1 else None,
         audio_idx=audio_idx,
         r_prev=r0[audio_idx],
         score_prev=jnp.zeros((bb,), jnp.float32),
-        cand_ids=jnp.zeros((bb, k), jnp.int32),
+        # beam mode stores candidates as a vocab membership mask (filled by
+        # the thresholded rescore); n=1 keeps the top-K id list
+        cand_ids=(jnp.zeros((bb, v_dec), bool) if num_beams > 1
+                  else jnp.zeros((bb, k), jnp.int32)),
         decoded_len=jnp.zeros((bb,), jnp.int32),
         last_label=jnp.full((bb,), blank, jnp.int32),
     )
@@ -127,28 +131,38 @@ class CTCRescorer:
         bb, v_dec = scores.shape
         decoded_len, last_label = self._prefix_stats(tokens, cur_len)
 
-        # top-K text candidates (+ EOS always, decoding.py:309-313)
-        _, cand_ids = jax.lax.top_k(scores[:, : self.timestamp_begin], self.k)
-        has_eos = (cand_ids == self.eos_id).any(axis=1)
-        cand_ids = cand_ids.at[:, self.k - 1].set(
-            jnp.where(has_eos, cand_ids[:, self.k - 1], self.eos_id))
-
         if state.p_tv is not None:
             # beam mode: psi for the whole vocab in one beam-shared matmul,
-            # then restrict to the top-K candidate set (the reference only
-            # ever scores/updates those, decoding.py:309-338); the
+            # restricted to the top-K-by-attention candidate set the
+            # reference scores (decoding.py:309-313). Membership comes from
+            # an exact bit-level threshold search instead of a top-k sort
+            # (kth_largest_keys; XLA's top-k full sort was the single
+            # largest op of the beam step); EOS is always a candidate. The
             # last-label column comes from the vocab-major copy where it is
-            # a contiguous T-row
+            # a contiguous T-row.
+            from ..ops.ctc_prefix import kth_largest_keys
+
+            keys, kth = kth_largest_keys(scores[:, : self.timestamp_begin],
+                                         self.k)
+            cand_mask = jnp.zeros((bb, v_dec), bool)
+            cand_mask = cand_mask.at[:, : self.timestamp_begin].set(
+                keys >= kth[:, None])
+            cand_mask = cand_mask.at[:, self.eos_id].set(True)
+
             xl = state.logp_vt[state.audio_idx,
                                last_label.astype(jnp.int32)]  # (Bb, T)
             psi_all = ctc_psi_matmul(
                 state.p_tv, xl, state.r_prev, decoded_len,
                 last_label, self.blank_id, self.eos_id)
-            mask = jnp.zeros((bb, v_dec), bool)
-            mask = jax.vmap(lambda row, idx: row.at[idx].set(True))(
-                mask, cand_ids)
-            tmp = jnp.where(mask, psi_all[:, :v_dec], LOG_ZERO)
+            tmp = jnp.where(cand_mask, psi_all[:, :v_dec], LOG_ZERO)
+            cand_ids = cand_mask  # stored as membership mask in beam mode
         else:
+            # top-K text candidates (+ EOS always, decoding.py:309-313)
+            _, cand_ids = jax.lax.top_k(scores[:, : self.timestamp_begin],
+                                        self.k)
+            has_eos = (cand_ids == self.eos_id).any(axis=1)
+            cand_ids = cand_ids.at[:, self.k - 1].set(
+                jnp.where(has_eos, cand_ids[:, self.k - 1], self.eos_id))
             # log_psi comes from the closed form alone — the O(K·T) alpha
             # recursion is deferred to update_state, which runs it only for
             # the single chosen token (the reference materializes states for
@@ -199,7 +213,13 @@ class CTCRescorer:
 
         # tokens < <|0.00|> advance the state; timestamps keep the old one
         # (reference update_state mask: best_ids < first_timestamp_token_id)
-        found = (cand_ids == next_tokens[:, None]).any(axis=1)
+        if cand_ids.dtype == jnp.bool_:
+            # beam mode stores candidate membership as a vocab mask
+            found = jnp.take_along_axis(
+                cand_ids, next_tokens[:, None].astype(jnp.int32),
+                axis=1)[:, 0]
+        else:
+            found = (cand_ids == next_tokens[:, None]).any(axis=1)
         advance = (next_tokens < self.timestamp_begin) & found
         new_r = jnp.where(advance[:, None, None], chosen_state, r_prev)
         new_score = jnp.where(advance, chosen_score, score_prev)

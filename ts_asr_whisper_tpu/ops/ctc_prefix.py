@@ -128,6 +128,33 @@ def ctc_psi_matmul(
     return psi
 
 
+def kth_largest_keys(x: jax.Array, k: int):
+    """Per-row threshold selection without a sort: returns (keys, kth_key)
+    where ``keys`` is a monotone uint32 encoding of ``x`` (IEEE-754 total
+    order) and ``kth_key`` the k-th largest key per row, found by a 32-step
+    binary search on the key bits. ``keys >= kth_key[:, None]`` is then the
+    exact top-k membership mask (ties at the threshold all included, where
+    a sort would break them by index). On TPU this replaces XLA's top-k
+    full sort — measured 2.05 ms/step for (40, 50k) k=500 inside the beam
+    loop — with ~32 cheap masked reductions."""
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    keys = jnp.where(bits >= jnp.uint32(0x80000000),
+                     ~bits, bits | jnp.uint32(0x80000000))
+
+    def body(_, lohi):
+        lo, hi = lohi  # invariant: count(>=hi+1) < k <= count(>=lo)
+        mid = lo + (hi - lo) // 2 + 1
+        cnt = (keys >= mid[:, None]).sum(axis=1)
+        take = cnt >= k
+        return (jnp.where(take, mid, lo), jnp.where(take, hi, mid - 1))
+
+    b = x.shape[0]
+    lo = jnp.zeros((b,), jnp.uint32)
+    hi = jnp.full((b,), 0xFFFFFFFF, jnp.uint32)
+    lo, _ = jax.lax.fori_loop(0, 32, body, (lo, hi))
+    return keys, lo
+
+
 def ctc_prefix_scores_from_xs(
     xs: jax.Array,          # (Bb, T, K) candidate log-probs per frame
     x_blank: jax.Array,     # (Bb, T) blank log-probs per frame
