@@ -409,6 +409,9 @@ def decoder_cached(
         h = res + mlp_block(lp, z, dtype)
         return h, (cache_k, cache_v)
 
+    # NOTE: keeping the scan rolled is measured FASTER than unrolling the
+    # 4-layer turbo decoder (beam step 948 -> 1134 ms unrolled: the scan's
+    # in-place carry buffers beat XLA's unrolled scheduling here)
     x, (new_k, new_v) = jax.lax.scan(
         step, x, (params["layers"], cross_kv,
                   kv_cache["k"], kv_cache["v"]))

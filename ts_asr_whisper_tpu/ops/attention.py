@@ -87,29 +87,27 @@ def _flash_mha_fwd(q, k, v, block_q: int = 256, interpret: bool = False):
 
     b, h, t, d = q.shape
     bh = b * h
-    t_pad = -(-t // block_q) * block_q
-
-    def flat_pad(x):
-        x = x.reshape(bh, t, d)
-        if t_pad != t:
-            x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
-        return x
-
-    qf, kf, vf = flat_pad(q), flat_pad(k), flat_pad(v)
-    grid = (bh, t_pad // block_q)
+    # NO host-side padding: Pallas pads partial boundary blocks in VMEM and
+    # drops out-of-bounds output rows. The flat_pad/slice version moved
+    # 4x(B,H,T,hd) extra HBM traffic per call — measured 1.6 ms/layer-call
+    # slower at (16,20,1500,64), bit-identical results.
+    qf = q.reshape(bh, t, d)
+    kf = k.reshape(bh, t, d)
+    vf = v.reshape(bh, t, d)
+    grid = (bh, -(-t // block_q))
     out = pl.pallas_call(
         functools.partial(_attn_kernel, t_real=t),
-        out_shape=jax.ShapeDtypeStruct((bh, t_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b_, i: (b_, i, 0)),
-            pl.BlockSpec((1, t_pad, d), lambda b_, i: (b_, 0, 0)),
-            pl.BlockSpec((1, t_pad, d), lambda b_, i: (b_, 0, 0)),
+            pl.BlockSpec((1, t, d), lambda b_, i: (b_, 0, 0)),
+            pl.BlockSpec((1, t, d), lambda b_, i: (b_, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b_, i: (b_, i, 0)),
         interpret=interpret,
     )(qf, kf, vf)
-    return out[:, :t].reshape(b, h, t, d)
+    return out.reshape(b, h, t, d)
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
@@ -139,6 +137,20 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
         g, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)            # (BQ, T_pad)
     dsoft = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    # out-of-bounds q rows of a partial boundary block carry garbage (their
+    # dq rows are dropped on write, but they MUST NOT leak into the dk/dv
+    # accumulation) — select, not multiply: garbage may be NaN
+    block_q = scores.shape[0]
+    q_pos = i * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, 1), 0)
+    row_ok = q_pos < t_real
+    dsoft = jnp.where(row_ok, dsoft, 0.0)
+    p = jnp.where(row_ok, p, 0.0)
+    # the dk/dv dots contract over q rows: the masked rows' zeros meet the
+    # out-of-bounds q/g values (NaN in interpret mode) — 0*NaN = NaN, so
+    # the operands must be masked as well, not just the coefficients
+    q = jnp.where(row_ok, q, 0.0)
+    g = jnp.where(row_ok, g, 0.0)
     ds_lo = dsoft.astype(q.dtype)
     p_lo = p.astype(q.dtype)
     dq_ref[0] = jax.lax.dot_general(
@@ -173,24 +185,21 @@ def _flash_mha_bwd_pallas(q, k, v, g, block_q: int = 256,
 
     b, h, t, d = q.shape
     bh = b * h
-    t_pad = -(-t // block_q) * block_q
-
-    def flat_pad(x):
-        x = x.reshape(bh, t, d)
-        if t_pad != t:
-            x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
-        return x
-
-    qf, kf, vf, gf = flat_pad(q), flat_pad(k), flat_pad(v), flat_pad(g)
-    grid = (bh, t_pad // block_q)
-    kv_spec = pl.BlockSpec((1, t_pad, d), lambda b_, i: (b_, 0, 0))
+    # no host-side padding (see _flash_mha_fwd); partial-block q rows are
+    # masked inside the kernel before the dk/dv accumulation
+    qf = q.reshape(bh, t, d)
+    kf = k.reshape(bh, t, d)
+    vf = v.reshape(bh, t, d)
+    gf = g.reshape(bh, t, d)
+    grid = (bh, -(-t // block_q))
+    kv_spec = pl.BlockSpec((1, t, d), lambda b_, i: (b_, 0, 0))
     blk_spec = pl.BlockSpec((1, block_q, d), lambda b_, i: (b_, i, 0))
     dq, dk, dv = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, t_real=t),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, t_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, t_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((bh, t_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
         ),
         grid=grid,
         in_specs=[blk_spec, kv_spec, kv_spec, blk_spec],
@@ -198,10 +207,10 @@ def _flash_mha_bwd_pallas(q, k, v, g, block_q: int = 256,
         interpret=interpret,
     )(qf, kf, vf, gf)
 
-    def unpad(x, dtype):
-        return x[:, :t].reshape(b, h, t, d).astype(dtype)
+    def unshape(x, dtype):
+        return x.reshape(b, h, t, d).astype(dtype)
 
-    return unpad(dq, q.dtype), unpad(dk, k.dtype), unpad(dv, v.dtype)
+    return unshape(dq, q.dtype), unshape(dk, k.dtype), unshape(dv, v.dtype)
 
 
 @jax.custom_vjp
