@@ -55,6 +55,12 @@ def load_audio(path: str,
                target_sr: Optional[int] = None) -> Tuple[np.ndarray, int]:
     """Load (channels, n) float32 audio, optionally slicing and resampling."""
     suffix = Path(path).suffix.lower()
+    if suffix == ".flac" and suffix not in _LOADERS:
+        # first-party native decoder (native/flac.cc) — registered lazily so
+        # WAV-only workflows never touch ctypes
+        from .flac import load_flac
+
+        register_audio_loader(".flac", load_flac)
     if suffix in _LOADERS:
         samples, sr = _LOADERS[suffix](path)
     elif suffix == ".wav":

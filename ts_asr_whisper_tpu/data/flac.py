@@ -1,0 +1,78 @@
+"""FLAC decoding via the native decoder (native/flac.cc, ctypes).
+
+The reference reads FLAC corpora (LibriSpeech/Libri2Mix ship FLAC) through
+lhotse's torchaudio/ffmpeg backends (/root/reference/src/data/
+local_datasets.py:196-214); here the codec is first-party native code so
+the data layer stays dependency-free. ``load_flac`` plugs into
+``data.audio.load_audio`` automatically (audio.py registers it lazily for
+the ``.flac`` suffix). Round-trip-validated against an independent
+pure-Python encoder (tests/flac_writer.py) across subframe types, Rice
+partitionings, stereo decorrelation modes, and bit depths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Tuple
+
+import numpy as np
+
+from ..eval.native import _load
+
+
+def _bind(lib):
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    if not hasattr(lib, "_flac_bound"):
+        lib.flac_stream_info.restype = ctypes.c_int
+        lib.flac_stream_info.argtypes = [
+            u8p, ctypes.c_long, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_long)]
+        lib.flac_decode.restype = ctypes.c_long
+        lib.flac_decode.argtypes = [u8p, ctypes.c_long, i32p, ctypes.c_long]
+        lib._flac_bound = True
+    return lib
+
+
+def decode_flac_bytes(data: bytes) -> Tuple[np.ndarray, int, int]:
+    """Returns (samples (channels, n) int32 at the stream bit depth,
+    sample_rate, bits_per_sample)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "native FLAC decoder unavailable (run `make -C native`)")
+    _bind(lib)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    sr = ctypes.c_int()
+    ch = ctypes.c_int()
+    bps = ctypes.c_int()
+    total = ctypes.c_long()
+    rc = lib.flac_stream_info(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        ctypes.byref(sr), ctypes.byref(ch), ctypes.byref(bps),
+        ctypes.byref(total))
+    if rc != 0:
+        raise ValueError("not a FLAC stream (bad STREAMINFO)")
+    # total_samples may legitimately be 0 (unknown): fall back to a bound
+    # from the compressed size (FLAC never expands PCM beyond ~1.01x + a
+    # small per-frame overhead; 2x raw bytes is a safe ceiling)
+    n_guess = total.value if total.value else \
+        (2 * len(data) * 8) // max(bps.value, 1) + 65536
+    out = np.empty(n_guess * ch.value, dtype=np.int32)
+    done = lib.flac_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), out.size)
+    if done < 0:
+        raise ValueError("corrupt or unsupported FLAC stream")
+    samples = out[: done * ch.value].reshape(done, ch.value).T
+    return samples, sr.value, bps.value
+
+
+def load_flac(path: str) -> Tuple[np.ndarray, int]:
+    """``load_audio`` plugin: (channels, n) float32 in [-1, 1] + rate."""
+    with open(path, "rb") as f:
+        data = f.read()
+    samples, sr, bps = decode_flac_bytes(data)
+    scale = float(1 << (bps - 1))
+    return samples.astype(np.float32) / scale, sr
