@@ -152,13 +152,7 @@ def _bench_train_step(batch: int = 8):
         "labels": labels,
         "upp_labels": labels.copy(),
     }
-    def _force(tree):
-        # on the remoted-TPU backend block_until_ready can return before
-        # execution finishes; fetching a leaf is the only reliable barrier
-        import jax.numpy as _jnp
-
-        leaf = jax.tree.leaves(tree)[0]
-        jax.device_get(_jnp.ravel(leaf)[:1])
+    from ts_asr_whisper_tpu.utils.device import force_execution as _force
 
     params, opt_state, _ = step_fn(params, opt_state, batch_data)  # compile
     _force(params)

@@ -238,7 +238,10 @@ int flac_stream_info(const uint8_t* data, long len, int* sample_rate,
 }
 
 // Decode the whole stream into interleaved int32 samples (sign-extended to
-// the stream's bit depth). Returns samples-per-channel decoded, or -1.
+// the stream's bit depth). Returns samples-per-channel decoded, -1 on a
+// corrupt/unsupported stream, or -2 when out_capacity is too small (the
+// caller should retry with a larger buffer — streams with an unset
+// STREAMINFO total can only be sized by decoding).
 long flac_decode(const uint8_t* data, long len, int32_t* out,
                  long out_capacity /* total int32 slots */) {
   StreamInfo si;
@@ -255,7 +258,12 @@ long flac_decode(const uint8_t* data, long len, int32_t* out,
     if (br.byte_pos >= br.len) break;
     uint64_t sync = br.read_bits(14);
     if (br.error) break;
-    if (sync != 0x3FFE) return -1;
+    if (sync != 0x3FFE) {
+      // tolerate trailing non-frame bytes (appended tags/padding) once at
+      // least one frame decoded; a bad first sync is a corrupt stream
+      if (done > 0) break;
+      return -1;
+    }
     br.read_bits(1);                       // reserved
     br.read_bits(1);                       // blocking strategy
     int bs_code = (int)br.read_bits(4);
@@ -337,7 +345,7 @@ long flac_decode(const uint8_t* data, long len, int32_t* out,
     long take = block_size;
     if (si.total_samples && done + take > si.total_samples)
       take = si.total_samples - done;  // final partial block
-    if ((done + take) * channels > out_capacity) return -1;
+    if ((done + take) * channels > out_capacity) return -2;
     for (long i = 0; i < take; ++i)
       for (int c = 0; c < channels; ++c)
         out[(done + i) * channels + c] =

@@ -23,11 +23,7 @@ import jax.numpy as jnp
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def _force(out):
-    # on the remoted-TPU backend block_until_ready returns before execution
-    # finishes; a host fetch of a leaf is the only reliable barrier
-    leaf = jax.tree.leaves(out)[0]
-    jax.device_get(jnp.ravel(leaf)[:1])
+from ts_asr_whisper_tpu.utils.device import force_execution as _force  # noqa: E402
 
 
 def timeit(fn, iters=3, warmup=1):

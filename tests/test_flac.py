@@ -122,3 +122,25 @@ def test_corrupt_stream_rejected():
         out, _, _ = decode_flac_bytes(bytes(data))
     except ValueError:
         pass
+
+
+def test_unknown_total_highly_compressible():
+    """CONSTANT frames compress ~700x: the decode buffer must grow on the
+    decoder's capacity signal instead of rejecting the stream."""
+    pcm = np.full((1, 60 * 16000), 123, np.int64)  # 60 s of DC
+    data = encode_flac(pcm, 16000, subframe_mode="constant",
+                       block_size=4096, declare_total=False)
+    assert len(data) < 6000  # actually tiny on the wire
+    out, sr, _ = decode_flac_bytes(data)
+    np.testing.assert_array_equal(out.astype(np.int64), pcm)
+
+
+def test_trailing_bytes_tolerated():
+    """Appended tags/padding after the last frame must not discard the
+    decoded audio (unknown-total streams cannot stop on a sample count)."""
+    pcm = _pcm(1, 3000, seed=23)
+    data = encode_flac(pcm, 16000, subframe_mode="fixed2", block_size=1024,
+                       declare_total=False)
+    data += b"\x00\x00TAGJUNK" * 3
+    out, _, _ = decode_flac_bytes(data)
+    np.testing.assert_array_equal(out.astype(np.int64), pcm)

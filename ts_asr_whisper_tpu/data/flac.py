@@ -24,6 +24,25 @@ def _bind(lib):
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i32p = ctypes.POINTER(ctypes.c_int32)
     if not hasattr(lib, "_flac_bound"):
+        if not hasattr(lib, "flac_stream_info"):
+            # libtsaw_native.so predates the FLAC decoder: try a rebuild
+            # (dlopen caches by path, so a fresh CDLL only helps if the
+            # process has not pinned the stale handle — tell the user when
+            # it has)
+            import subprocess
+            from pathlib import Path
+
+            native_dir = Path(__file__).resolve().parents[2] / "native"
+            try:
+                subprocess.run(["make", "-C", str(native_dir)], check=True,
+                               capture_output=True, timeout=120)
+            except Exception:
+                pass
+            lib = ctypes.CDLL(str(native_dir / "libtsaw_native.so"))
+            if not hasattr(lib, "flac_stream_info"):
+                raise RuntimeError(
+                    "libtsaw_native.so lacks the FLAC symbols (stale "
+                    "build): run `make -C native clean all` and restart")
         lib.flac_stream_info.restype = ctypes.c_int
         lib.flac_stream_info.argtypes = [
             u8p, ctypes.c_long, ctypes.POINTER(ctypes.c_int),
@@ -42,7 +61,7 @@ def decode_flac_bytes(data: bytes) -> Tuple[np.ndarray, int, int]:
     if lib is None:
         raise RuntimeError(
             "native FLAC decoder unavailable (run `make -C native`)")
-    _bind(lib)
+    lib = _bind(lib)
     buf = np.frombuffer(data, dtype=np.uint8)
     sr = ctypes.c_int()
     ch = ctypes.c_int()
@@ -54,15 +73,20 @@ def decode_flac_bytes(data: bytes) -> Tuple[np.ndarray, int, int]:
         ctypes.byref(total))
     if rc != 0:
         raise ValueError("not a FLAC stream (bad STREAMINFO)")
-    # total_samples may legitimately be 0 (unknown): fall back to a bound
-    # from the compressed size (FLAC never expands PCM beyond ~1.01x + a
-    # small per-frame overhead; 2x raw bytes is a safe ceiling)
+    # total_samples may legitimately be 0 (unknown, e.g. piped encodes);
+    # highly compressible audio can exceed any size-based guess, so grow
+    # the buffer on the decoder's capacity signal (-2) until it fits
     n_guess = total.value if total.value else \
-        (2 * len(data) * 8) // max(bps.value, 1) + 65536
-    out = np.empty(n_guess * ch.value, dtype=np.int32)
-    done = lib.flac_decode(
-        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), out.size)
+        (4 * len(data) * 8) // max(bps.value, 1) + 65536
+    while True:
+        out = np.empty(n_guess * ch.value, dtype=np.int32)
+        done = lib.flac_decode(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), out.size)
+        if done == -2 and n_guess < (1 << 34):
+            n_guess *= 4
+            continue
+        break
     if done < 0:
         raise ValueError("corrupt or unsupported FLAC stream")
     samples = out[: done * ch.value].reshape(done, ch.value).T

@@ -110,25 +110,3 @@ def pad_stno_mask_batch(masks: Sequence[np.ndarray]) -> np.ndarray:
         out[i, : m.shape[0]] = m
         out[i, m.shape[0]:, 0] = 1.0
     return out.transpose(0, 2, 1)
-
-
-def slice_stno_for_seek(
-    stno_mask: np.ndarray,  # (B, 4, T_full) at 50 Hz
-    seek_frames: np.ndarray,  # (B,) current seek position in MEL frames (100 Hz)
-    max_frames: np.ndarray,  # (B,) valid mel frames per sample
-    num_frames_window: int = 1500,
-) -> np.ndarray:
-    """Slice the per-recording STNO mask for the current 30 s seek window and
-    pad the tail with silence (generation.py:80-104). All frame counts here
-    are at the 50 Hz encoder rate = mel // 2."""
-    b = stno_mask.shape[0]
-    out = np.zeros((b, 4, num_frames_window), dtype=stno_mask.dtype)
-    seek_vad = seek_frames // 2
-    max_vad = max_frames // 2
-    for i in range(b):
-        take = int(min(max_vad[i] - seek_vad[i], num_frames_window))
-        take = max(take, 0)
-        sl = stno_mask[i, :, seek_vad[i] : seek_vad[i] + take]
-        out[i, :, :take] = sl
-        out[i, 0, take:] = 1.0
-    return out

@@ -144,9 +144,22 @@ class CTCRescorer:
 
             keys, kth = kth_largest_keys(scores[:, : self.timestamp_begin],
                                          self.k)
+            # exact top-k membership with top_k's tie-breaking (equal values
+            # selected in index order), reproducing the reference's slot
+            # bookkeeping: when EOS is not among the top-k it REPLACES the
+            # k-th-ranked candidate (decoding.py:309-313), which under the
+            # sorted order is the last selected threshold tie
+            greater = keys > kth[:, None]
+            ties = keys == kth[:, None]
+            m_needed = (self.k - greater.sum(axis=1))[:, None]
+            tie_rank = jnp.cumsum(ties, axis=1)
+            topk = greater | (ties & (tie_rank <= m_needed))
+            has_eos = topk[:, self.eos_id] if self.eos_id \
+                < self.timestamp_begin else jnp.zeros((bb,), bool)
+            displaced = ties & (tie_rank == m_needed)
+            topk = jnp.where(has_eos[:, None], topk, topk & ~displaced)
             cand_mask = jnp.zeros((bb, v_dec), bool)
-            cand_mask = cand_mask.at[:, : self.timestamp_begin].set(
-                keys >= kth[:, None])
+            cand_mask = cand_mask.at[:, : self.timestamp_begin].set(topk)
             cand_mask = cand_mask.at[:, self.eos_id].set(True)
 
             xl = state.logp_vt[state.audio_idx,

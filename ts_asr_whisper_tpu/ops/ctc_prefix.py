@@ -80,10 +80,18 @@ def ctc_psi_matmul(
 ) -> jax.Array:
     """Closed-form log(psi) for EVERY vocab token at once, as one MXU
     matmul in the probability domain: with per-hypothesis weights
-    w[t] = exp(phi[t-1] - M) (M = max phi, so w <= 1 and the fp32 sum is
-    exact to ~1e-6 of the log-semiring reduction),
+    w[t] = exp(phi[t-1] - M) (M = max phi, so w <= 1),
 
         psi[v] = M + log( sum_t w[t] * P[t, v] ).
+
+    Precision: within ~1e-6 of the log-semiring reduction for any psi in
+    [M - 87, M] (the fp32 range of the shifted sum); candidates whose true
+    psi lies below that floor — CTC posterior under e^-87 relative to the
+    best path at every frame — clamp to ~M - 87.5. Since M tracks the
+    prefix forward mass (and hence score_prev), the clamped increment
+    psi - score_prev is still <= -80-odd nats, so such candidates remain
+    unselectable after fusion exactly as in the reference; only their
+    (never-consumed) score magnitudes differ.
 
     Beams of an audio row share P, so the dominant read (P itself) is
     amortized n_beams-fold — unlike the per-candidate gather, whose
