@@ -379,3 +379,43 @@ def test_longform_mesh_dp_matches_unsharded(rng):
     dp = lf.longform_generate(params, cfg, gen_cfg, feats, stno, attn,
                               prompts, max_new_tokens=8, mesh=mesh)
     np.testing.assert_array_equal(base.sequences, dp.sequences)
+
+
+def test_slice_windows_dev_matches_host_semantics():
+    """Device-side seek-window assembly == the original host reference
+    semantics (mel tail zeroed beyond the valid length, STNO tail silence,
+    odd seek offsets, short final windows, duplicate padded rows)."""
+    import jax.numpy as jnp
+
+    from ts_asr_whisper_tpu.decoding.longform import _slice_windows_dev
+
+    rng = np.random.default_rng(0)
+    b, m, t_total, nsf = 3, 6, 250, 100
+    feats = rng.standard_normal((b, m, t_total)).astype(np.float32)
+    stno = rng.random((b, 4, t_total // 2)).astype(np.float32)
+    max_frames = np.array([250, 103, 160])
+    seek = np.array([200, 31, 0])
+    rows = np.array([0, 1, 2, 0])  # padded duplicate of row 0
+    forced = np.tile(np.array([[7, 8, 9]], np.int32), (b, 1))
+
+    n_mel = np.clip(max_frames[rows] - seek[rows], 0, nsf)
+    n_stno = np.clip(max_frames[rows] // 2 - seek[rows] // 2, 0, nsf // 2)
+    meta = np.stack([rows, seek[rows], n_mel, n_stno]).astype(np.int32)
+    feats_dev = jnp.pad(jnp.asarray(feats), ((0, 0), (0, 0), (0, nsf)))
+    stno_dev = jnp.pad(jnp.asarray(stno), ((0, 0), (0, 0), (0, nsf // 2)))
+    win, sw, fr = _slice_windows_dev(feats_dev, stno_dev,
+                                     jnp.asarray(forced), jnp.asarray(meta),
+                                     nsf=nsf)
+    win, sw, fr = np.asarray(win), np.asarray(sw), np.asarray(fr)
+
+    for j, i in enumerate(rows):
+        n = int(n_mel[j])
+        exp = np.zeros((m, nsf), np.float32)
+        exp[:, :n] = feats[i, :, seek[i]: seek[i] + n]
+        np.testing.assert_array_equal(win[j], exp)
+        take = int(n_stno[j])
+        exp_s = np.zeros((4, nsf // 2), np.float32)
+        exp_s[:, :take] = stno[i, :, seek[i] // 2: seek[i] // 2 + take]
+        exp_s[0, take:] = 1.0  # tail = silence class
+        np.testing.assert_array_equal(sw[j], exp_s)
+        np.testing.assert_array_equal(fr[j], forced[i])
