@@ -88,3 +88,28 @@ def test_pallas_bwd_matches_autodiff(rng):
     for a, b in zip(ours, ref_grads):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=3e-4)
+
+
+def test_pallas_beam_reorder_matches_gather():
+    """ops/reorder.py Pallas kernel (interpret mode) == plain row gather ==
+    one-hot matmul."""
+    import numpy as np
+
+    from ts_asr_whisper_tpu.ops.reorder import (
+        _reorder_onehot,
+        _reorder_pallas,
+    )
+
+    rng = np.random.default_rng(0)
+    l, b, n, h, t, d = 2, 3, 4, 2, 9, 8
+    bb = b * n
+    cache = jnp.asarray(rng.standard_normal((l, bb, h, t, d))
+                        .astype(np.float32))
+    chosen = jnp.asarray(rng.integers(0, n, (b, n)), jnp.int32)
+    flat = (jnp.arange(b)[:, None] * n + chosen).reshape(bb)
+
+    want = np.asarray(cache)[:, np.asarray(flat)]
+    np.testing.assert_array_equal(
+        np.asarray(_reorder_pallas(flat, cache, interpret=True)), want)
+    np.testing.assert_array_equal(
+        np.asarray(_reorder_onehot(chosen, cache, n)), want)

@@ -186,23 +186,13 @@ def beam_search(
             in_axes=(0, 0, None))(new_tokens, chosen_tok, c.cur_len)
 
         # reorder cache + ctc state by flat beam index. The KV cache moves
-        # ~100 MB/step; XLA lowers the row gather at ~40 GB/s, while a
-        # one-hot matmul rides the MXU at copy speed — and because beams
-        # only permute within their audio row's n-group, the one-hot factor
-        # is block-diagonal: contract over n per audio row, not over Bb
+        # ~100 MB/step; see ops/reorder.py for the strategy trade-offs
+        # (Pallas block-DMA kernel on TPU, one-hot matmul elsewhere)
+        from ..ops.reorder import beam_reorder
+
         flat_beam_idx = (jnp.arange(b)[:, None] * n + chosen_beam).reshape(bb)
-
-        def _reorder(v):
-            # v: (L, Bb, H, T, hd), Bb = b*n contiguous — splitting the beam
-            # axis is a free bitcast view; one nonzero per output row, so
-            # the matmul-select is exact in any dtype
-            l_, _, h_, t_, d_ = v.shape
-            onehot = jax.nn.one_hot(chosen_beam, n, dtype=v.dtype)  # (B,n,n)
-            g = v.reshape(l_, b, n, h_, t_, d_)
-            out = jnp.einsum("boi,lbihtd->lbohtd", onehot, g)
-            return out.reshape(v.shape)
-
-        cache = {k: _reorder(v) for k, v in c.cache.items()}
+        cache = {k: beam_reorder(v, chosen_beam, n, flat_beam_idx)
+                 for k, v in c.cache.items()}
         if ctc_scorer is not None:
             ctc_state_new = ctc_scorer.update_state(
                 ctc_state_new, chosen_tok.reshape(bb), flat_beam_idx)

