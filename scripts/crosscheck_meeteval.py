@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Cross-check this framework's WER engine against meeteval.
+
+meeteval is not installable in this repo's build environment (zero egress),
+so the engines in eval/wer.py are validated in CI against brute-force
+oracles (tests/test_wer.py, tests/test_orc.py). THIS script closes the
+remaining loop on any machine that has `pip install meeteval`: it generates
+randomized multi-speaker sessions (overlaps, empty streams, self-overlap,
+CJK-ish single-char words), scores each with both engines, and asserts the
+error counts match exactly.
+
+    python scripts/crosscheck_meeteval.py [--sessions 50] [--seed 0]
+
+Exit code 0 = every session agreed on tcpWER, cpWER, and ORC-WER counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from ts_asr_whisper_tpu.eval.seglst import SegLST  # noqa: E402
+from ts_asr_whisper_tpu.eval.wer import (  # noqa: E402
+    calc_session_cp_wer,
+    calc_session_orc_wer,
+    calc_session_tcp_wer,
+)
+
+WORDS = ["yes", "no", "ok", "hello", "world", "meeting", "今", "日", "uh",
+         "right", "thanks", "speaker", "one", "two", "three"]
+
+
+def random_session(rng, max_speakers=4, max_segs=6, max_words=8):
+    def streams(prefix):
+        n_spk = int(rng.integers(1, max_speakers + 1))
+        segs = []
+        for s in range(n_spk):
+            t = float(rng.uniform(0, 2))
+            for _ in range(int(rng.integers(0, max_segs + 1))):
+                n_words = int(rng.integers(1, max_words + 1))
+                dur = float(rng.uniform(0.3, 3.0))
+                segs.append({
+                    "session_id": "s0",
+                    "speaker": f"{prefix}{s}",
+                    "start_time": round(t, 2),
+                    "end_time": round(t + dur, 2),
+                    "words": " ".join(rng.choice(WORDS, n_words)),
+                })
+                # occasional self-overlap / out-of-order starts
+                t += dur * float(rng.uniform(0.5, 1.4))
+        return segs
+
+    return streams("ref_spk"), streams("hyp_spk")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sessions", type=int, default=50)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--collar", type=float, default=5.0)
+    args = ap.parse_args()
+
+    try:
+        import meeteval  # noqa: F401
+        from meeteval.io.seglst import SegLST as MSegLST
+        from meeteval.wer.api import cpwer, orcwer, tcpwer
+    except ImportError:
+        print("meeteval is not installed; run this on a machine with "
+              "`pip install meeteval` to cross-validate the WER engines.")
+        return 2
+
+    rng = np.random.default_rng(args.seed)
+    failures = 0
+    for i in range(args.sessions):
+        ref, hyp = random_session(rng)
+        if not ref or not hyp:
+            continue
+        m_ref, m_hyp = MSegLST(ref), MSegLST(hyp)
+        ref, hyp = SegLST(ref), SegLST(hyp)
+
+        ours = calc_session_tcp_wer(ref, hyp, collar=args.collar)
+        theirs = tcpwer(reference=m_ref, hypothesis=m_hyp,
+                        collar=args.collar)["s0"]
+        for key in ("errors", "insertions", "deletions", "substitutions",
+                    "length"):
+            if ours[f"tcp_{key}"] != getattr(theirs, key):
+                print(f"[{i}] tcpwer {key}: ours={ours[f'tcp_{key}']} "
+                      f"meeteval={getattr(theirs, key)}")
+                failures += 1
+
+        ours_cp = calc_session_cp_wer(ref, hyp)
+        theirs_cp = cpwer(reference=m_ref, hypothesis=m_hyp)["s0"]
+        if ours_cp["cp_errors"] != theirs_cp.errors:
+            print(f"[{i}] cpwer errors: ours={ours_cp['cp_errors']} "
+                  f"meeteval={theirs_cp.errors}")
+            failures += 1
+
+        ours_orc = calc_session_orc_wer(ref, hyp)
+        theirs_orc = orcwer(reference=m_ref, hypothesis=m_hyp)["s0"]
+        if ours_orc["orc_errors"] != theirs_orc.errors:
+            print(f"[{i}] orcwer errors: ours={ours_orc['orc_errors']} "
+                  f"meeteval={theirs_orc.errors}")
+            failures += 1
+
+    if failures:
+        print(f"FAILED: {failures} mismatching counts")
+        return 1
+    print(f"OK: {args.sessions} sessions, all tcpWER/cpWER/ORC counts match")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
