@@ -353,3 +353,22 @@ def test_smoke_decode_script(corpus, tmp_path, capsys):
     # stdout carries the one-line JSON summary
     line = capsys.readouterr().out.strip().splitlines()[-1]
     assert any(k.endswith("tcp_wer") for k in _json.loads(line))
+
+
+def test_train_by_epochs_when_max_steps_unset(corpus, tmp_path):
+    """max_steps<=0 = HF's train-by-epochs convention: the step budget is
+    derived from num_train_epochs x steps_per_epoch (previously the loop
+    exited immediately at step 0)."""
+    from ts_asr_whisper_tpu.train import ModelTrainer
+
+    out_dir = tmp_path / "epochs"
+    cfg = load_config(_base_overrides(corpus, out_dir) + [
+        "training.max_steps=0",
+        "training.num_train_epochs=2",
+    ], n_devices=1)
+    cfg.training.mesh_shape = [1]
+    trainer = ModelTrainer(cfg)
+    metrics = trainer.train()
+    # 2 train cuts x 2 speakers = 4 samples, global batch 2 -> 2 steps/epoch
+    assert cfg.training.max_steps == 4
+    assert any(k.endswith("tcp_wer") for k in metrics)

@@ -203,3 +203,30 @@ def test_repetition_penalty_matches_hf(rng):
                                   jnp.asarray(cur_len)))
         np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6,
                                    err_msg=f"mismatch at len {cur_len}")
+
+
+def test_no_speech_prob_position_matches_hf(setup):
+    """no_speech_probs must come from the logits AT the
+    <|startoftranscript|> position (HF WhisperNoSpeechDetection reads
+    logits[:, begin_index - start_of_trans_offset] == position 0), not the
+    last prompt position."""
+    ref, cfg, params, gen_cfg, feats, stno = setup
+    import jax
+
+    from ts_asr_whisper_tpu.models.dicow import dicow_encoder_forward
+
+    prompts = np.array([[SOT, EOS + 2, EOS + 3]] * 2, dtype=np.int32)
+    with torch.no_grad():
+        out = ref(
+            input_features=torch.tensor(feats),
+            stno_mask=torch.tensor(stno),
+            decoder_input_ids=torch.tensor(prompts.astype(np.int64)),
+        )
+        logits0 = out.logits[:, 0].float()  # at the sot position
+        want = torch.softmax(logits0, dim=-1)[:, NO_TS - 1].numpy()
+
+    enc = dicow_encoder_forward(params["encoder"], cfg, jnp.asarray(feats),
+                                jnp.asarray(stno))
+    got = np.asarray(greedy_decode(params, cfg, gen_cfg, enc,
+                                   jnp.asarray(prompts), 4).no_speech_probs)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)

@@ -166,3 +166,37 @@ def test_session_tcorc_applies_collar():
                                  time_step=0.01, collar=5)
     assert good["tcorc_errors"] == 0
     assert bad["tcorc_errors"] > 0
+
+
+def test_orc_session_chunked_fallback(monkeypatch):
+    """Sessions past the DP size guards split at joint silences and solve
+    each group exactly instead of raising (previously a ValueError killed
+    the whole eval run)."""
+    import numpy as np
+
+    import ts_asr_whisper_tpu.eval.orc as orc_mod
+    from ts_asr_whisper_tpu.eval.seglst import SegLST
+    from ts_asr_whisper_tpu.eval.wer import calc_session_orc_wer
+
+    rng = np.random.default_rng(5)
+    words = ["a", "b", "c", "d", "e"]
+
+    def seg(spk, t0, n):
+        return {"session_id": "s", "speaker": spk, "start_time": t0,
+                "end_time": t0 + 2.0,
+                "words": " ".join(rng.choice(words, n))}
+
+    # two well-separated bursts of 3-speaker speech
+    ref = [seg(f"r{s}", t0 + s * 0.1, 6)
+           for t0 in (0.0, 120.0) for s in range(3)]
+    hyp = [seg(f"h{s}", t0 + s * 0.1, 6)
+           for t0 in (0.0, 120.0) for s in range(3)]
+    exact = calc_session_orc_wer(SegLST(ref), SegLST(hyp))
+
+    # force the fallback by shrinking the guard; the groups here are
+    # independent across the silence, so counts must match the exact run
+    monkeypatch.setattr(orc_mod, "MAX_GRID_CELLS", 10_000)
+    chunked = calc_session_orc_wer(SegLST(ref), SegLST(hyp))
+    for k in ("orc_errors", "orc_length", "orc_insertions",
+              "orc_deletions", "orc_substitutions"):
+        assert chunked[k] == exact[k], k

@@ -91,8 +91,11 @@ def beam_search(
                                    0, cache, cross_kv)
     logits0 = lm_logits(dec, hidden[:, -1]).astype(jnp.float32)
     no_speech_token = gen_cfg.no_timestamps_token_id - 1
+    # logits AT the <|startoftranscript|> position (see greedy.py; HF
+    # WhisperNoSpeechDetection reads begin_index - start_of_trans_offset)
+    sot_logits = lm_logits(dec, hidden[:, 0]).astype(jnp.float32)
     no_speech_probs = jax.nn.softmax(
-        logits0.reshape(b, n, vocab)[:, 0], axis=-1)[:, no_speech_token]
+        sot_logits.reshape(b, n, vocab)[:, 0], axis=-1)[:, no_speech_token]
 
     running_scores = jnp.full((b, n), NEG)
     running_scores = running_scores.at[:, 0].set(0.0)

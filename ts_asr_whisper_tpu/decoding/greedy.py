@@ -72,7 +72,12 @@ def greedy_decode(
     hidden, cache = decoder_cached(dec, cfg, tokens[:, :prompt_len], 0,
                                    cache, cross_kv)
     logits0 = lm_logits(dec, hidden[:, -1]).astype(jnp.float32)  # (B, V)
-    no_speech_probs = jax.nn.softmax(logits0, axis=-1)[:, no_speech_token]
+    # no-speech prob comes from the logits AT the <|startoftranscript|>
+    # position (index 0 of the prefill) — where Whisper places <|nospeech|>
+    # mass — not the last prompt position (HF WhisperNoSpeechDetection:
+    # logits[:, begin_index - start_of_trans_offset])
+    sot_logits = lm_logits(dec, hidden[:, 0]).astype(jnp.float32)
+    no_speech_probs = jax.nn.softmax(sot_logits, axis=-1)[:, no_speech_token]
 
     class Carry(NamedTuple):
         tokens: jax.Array

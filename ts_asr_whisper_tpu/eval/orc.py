@@ -32,6 +32,12 @@ import numpy as np
 
 INF = np.int64(1) << 40
 MAX_GRID_CELLS = 50_000_000  # joint-grid size guard
+MAX_BACKTRACK_BYTES = 2_000_000_000  # choice arrays: n_utt * cells * 5 B
+
+
+class OrcGridTooLarge(ValueError):
+    """The exact DP would exceed the size guards; callers fall back to the
+    silence-chunked driver (eval/wer.py::calc_session_orc_wer)."""
 
 
 def _cummin_with_slope(base: np.ndarray, start: np.ndarray
@@ -106,11 +112,12 @@ def exact_orc(
         s = 1
     shape = tuple(len(h) + 1 for h in hyp_streams)
     cells = int(np.prod(shape))
-    if cells > MAX_GRID_CELLS:
-        raise ValueError(
-            f"ORC joint grid {shape} exceeds {MAX_GRID_CELLS} cells; "
-            "use the chunked tcORC driver (calc_session_tcorc_wer) which "
-            "bounds group sizes")
+    if (cells > MAX_GRID_CELLS
+            or len(ref_utts) * cells * 5 > MAX_BACKTRACK_BYTES):
+        raise OrcGridTooLarge(
+            f"ORC joint grid {shape} x {len(ref_utts)} utterances exceeds "
+            "the size guards; split the session into silence-bounded "
+            "groups (calc_session_orc_wer does this automatically)")
 
     # D_0: every consumed hyp word is an insertion
     grids = np.meshgrid(*[np.arange(n, dtype=np.int64) for n in shape],

@@ -338,8 +338,56 @@ def calc_session_tcorc_wer(ref: SegLST, hyp: SegLST, group_duration=5,
     return out
 
 
-def calc_session_orc_wer(ref: SegLST, hyp: SegLST) -> dict:
-    res = _seglst_orc(filter_empty_segments(ref), filter_empty_segments(hyp))
+def calc_session_orc_wer(ref: SegLST, hyp: SegLST,
+                         group_duration: float = 30.0,
+                         time_step: float = 0.01) -> dict:
+    """Exact session ORC; when the joint stream grid exceeds the DP size
+    guards (long multi-stream sessions), the session is split at joint
+    silences into ~group_duration groups and each group solved exactly —
+    the same cost-bounding the reference applies to tcORC (wer.py:41-86),
+    here without stream merging or time constraint. Groups are independent
+    only across true joint silences, so this is near-exact in practice but
+    no longer guaranteed optimal; the exact path is always used when it
+    fits."""
+    ref_f = filter_empty_segments(ref)
+    hyp_f = filter_empty_segments(hyp)
+    from .orc import OrcGridTooLarge
+
+    try:
+        res = _seglst_orc(ref_f, hyp_f)
+    except OrcGridTooLarge:
+        if not len(ref_f):
+            raise
+        ref_vad = create_vad_mask(ref_f.segments, time_step=time_step)
+        hyp_vad = (create_vad_mask(hyp_f.segments, time_step=time_step)
+                   if len(hyp_f) else ref_vad)
+        n = max(len(ref_vad), len(hyp_vad))
+        vad = np.pad(ref_vad, (0, n - len(ref_vad))) | \
+            np.pad(hyp_vad, (0, n - len(hyp_vad)))
+        splits = np.array(find_group_splits(vad, group_duration,
+                                            time_step)) * time_step
+
+        def group_of(seg):
+            return _map_to_split(float(seg["start_time"]), splits) \
+                if len(splits) else 0
+
+        res = {"errors": 0, "length": 0, "insertions": 0, "deletions": 0,
+               "substitutions": 0, "assignment": []}
+        gids = sorted({group_of(s) for s in ref_f}
+                      | {group_of(s) for s in hyp_f})
+        for gid in gids:
+            ref_g = ref_f.filter(lambda s: group_of(s) == gid)
+            hyp_g = hyp_f.filter(lambda s: group_of(s) == gid)
+            if not len(ref_g) and not len(hyp_g):
+                continue
+            if not len(hyp_g):
+                hyp_g = create_dummy_seglst(str(gid))
+            part = _seglst_orc(ref_g, hyp_g)
+            for k in ("errors", "length", "insertions", "deletions",
+                      "substitutions"):
+                res[k] += part[k]
+            res["assignment"].extend(part["assignment"])
+        res["assignment"] = tuple(res["assignment"])
     out = {"orc_wer": res["errors"] / res["length"] if res["length"] else 0.0}
     out.update({f"orc_{k}": v for k, v in res.items()})
     return out

@@ -97,7 +97,7 @@ def _dft_kernel() -> np.ndarray:
     t = np.arange(N_FFT, dtype=np.float64)
     k = np.arange(n_freq, dtype=np.float64)
     angle = 2.0 * np.pi * np.outer(t, k) / N_FFT
-    window = 0.5 * (1.0 - np.cos(2.0 * np.pi * t / N_FFT))  # periodic hann
+    window = _hann_window(np.float64)  # periodic hann, fp64 for the basis
     cos_b = (np.cos(angle) * window[:, None])
     sin_b = (-np.sin(angle) * window[:, None])
     return np.concatenate([cos_b, sin_b], axis=1).astype(np.float32)
@@ -155,17 +155,26 @@ def log_mel_spectrogram(waveform: jax.Array, num_mel_filters: int = 80) -> jax.A
         waveform = waveform[None]
     power = power_spectrogram(waveform)                     # (B, T, n_freq)
     mel = power @ jnp.asarray(_mel_filters_np(num_mel_filters))
-    log_spec = jnp.log10(jnp.clip(mel, min=1e-10))
-    max_val = jnp.max(log_spec, axis=(1, 2), keepdims=True)
-    log_spec = jnp.maximum(log_spec, max_val - 8.0)
-    log_spec = (log_spec + 4.0) / 4.0
-    return jnp.swapaxes(log_spec, 1, 2)                     # (B, n_mels, T)
+    return jnp.swapaxes(_whisper_log_tail(mel, jnp), 1, 2)  # (B, n_mels, T)
 
 
 @functools.lru_cache(maxsize=4)
-def _hann_window() -> np.ndarray:
+def _hann_window(dtype=np.float32) -> np.ndarray:
+    """Periodic Hann — the single definition shared by the MXU rDFT basis
+    (fp64) and the numpy host path (fp32)."""
     t = np.arange(N_FFT, dtype=np.float64)
-    return (0.5 * (1.0 - np.cos(2.0 * np.pi * t / N_FFT))).astype(np.float32)
+    return (0.5 * (1.0 - np.cos(2.0 * np.pi * t / N_FFT))).astype(dtype)
+
+
+def _whisper_log_tail(mel, xp):
+    """Whisper's log-mel normalization (1e-10 clip, per-sample max-8 floor,
+    (x+4)/4 scale) — one definition for the jnp and numpy paths so an
+    HF-parity tweak cannot desynchronize train-time from decode-time
+    features."""
+    log_spec = xp.log10(xp.clip(mel, 1e-10, None))
+    max_val = log_spec.max(axis=(1, 2), keepdims=True)
+    log_spec = xp.maximum(log_spec, max_val - 8.0)
+    return (log_spec + 4.0) / 4.0
 
 
 def log_mel_numpy(waveform: np.ndarray, num_mel_filters: int = 80
@@ -189,11 +198,7 @@ def log_mel_numpy(waveform: np.ndarray, num_mel_filters: int = 80
     spec = np.fft.rfft(frames * _hann_window(), axis=-1)
     power = (spec.real ** 2 + spec.imag ** 2).astype(np.float32)
     mel = power @ _mel_filters_np(num_mel_filters)
-    log_spec = np.log10(np.clip(mel, 1e-10, None))
-    max_val = log_spec.max(axis=(1, 2), keepdims=True)
-    log_spec = np.maximum(log_spec, max_val - 8.0)
-    log_spec = (log_spec + 4.0) / 4.0
-    return np.swapaxes(log_spec, 1, 2)
+    return np.swapaxes(_whisper_log_tail(mel, np), 1, 2)
 
 
 def extract_features(waveform: np.ndarray, num_mel_filters: int = 80,

@@ -289,13 +289,37 @@ class ModelTrainer:
         from .parallel.mesh import make_mesh
 
         mesh = make_mesh(t.mesh_shape, t.mesh_axis_names)
+        resume_path = t.resume_from_checkpoint or t.restart_from or None
         while True:
             if not params_alive(self.container.params):
-                # the failed attempt's donated buffers are gone; reload
+                # the failed attempt's donated buffers are gone; reload —
+                # and RE-RESTORE checkpointed weights, else an OOM retry on
+                # a resumed run would silently continue from the pretrained
+                # init at the resumed step
                 logger.info("Rebuilding model params after OOM retry")
                 self.container = WhisperContainer(self.cfg,
                                                   seed=t.seed)
+                if self.cfg.model.reinit_encoder_from:
+                    self.container.reinit_encoder_from(
+                        self.cfg.model.reinit_encoder_from)
+                elif self.cfg.model.reinit_from:
+                    self.container.reinit_from(self.cfg.model.reinit_from)
+                if resume_path:
+                    from .training.checkpoints import restore_checkpoint
+
+                    state, _ = restore_checkpoint(
+                        str(resume_path), {"params": self.container.params})
+                    self.container.params = state["params"]
+                    logger.info("Re-restored resume checkpoint %s after "
+                                "OOM retry", resume_path)
             global_bs = bs * max(1, mesh.size)
+            if t.max_steps <= 0:
+                # HF convention: train by epochs; derive the step budget so
+                # the lr schedule and the loop agree
+                spe = len(self.train_dataset) // global_bs or 1
+                t.max_steps = spe * t.num_train_epochs
+                logger.info("max_steps<=0: training %d epochs = %d steps",
+                            t.num_train_epochs, t.max_steps)
             trainer = Trainer(self.cfg, self.container.model_config,
                               self.container.params,
                               num_prefix_tokens=num_prefix,

@@ -240,7 +240,9 @@ class Trainer:
             jax.profiler.start_trace(t.profile_dir)
             profiling = True
         for batch in train_iter:
-            if self.state.step >= t.max_steps:
+            # max_steps <= 0 = HF's "train by num_train_epochs" convention:
+            # termination is then the loader exhausting its epochs
+            if t.max_steps > 0 and self.state.step >= t.max_steps:
                 break
             self._maybe_unfreeze()
             train_step, _ = self._steps

@@ -133,13 +133,11 @@ class ReverseNumberNormalizer:
 def _load_mapping(env_var: str, default_asset: str) -> Dict[str, str]:
     """Env-var override, else the vendored spelling asset (the reference
     loads english.json / pre_english.json unconditionally,
-    english.py:638-639)."""
-    path = os.environ.get(env_var) \
-        or os.path.join(os.path.dirname(__file__), default_asset)
-    if path and os.path.exists(path):
-        with open(path) as f:
-            return json.load(f)
-    return {}
+    english.py:638-639). Single resolution path shared with
+    get_text_norm's 'whisper' branch."""
+    from . import _load_spelling
+
+    return _load_spelling(None, env_var, default_asset)
 
 
 class NsfEnglishTextNormalizer:
