@@ -33,6 +33,15 @@ def _emit(metric, value, unit, vs_baseline):
                       "vs_baseline": vs_baseline}), flush=True)
 
 
+# TSAW_BENCH_MODEL overrides the benchmarked architecture (e.g. 'tiny' for
+# a CPU smoke of the bench plumbing itself); TSAW_BENCH_BATCH divides the
+# batch sizes accordingly. Production numbers use the defaults.
+import os
+
+_BENCH_MODEL = os.environ.get("TSAW_BENCH_MODEL", "large-v3-turbo")
+_BATCH_DIV = int(os.environ.get("TSAW_BENCH_BATCH_DIV", "1"))
+
+
 def _bench_longform(num_beams: int, ctc_weight: float, batch: int,
                     n_windows: int, length_penalty: float = 1.0):
     import jax
@@ -45,8 +54,9 @@ def _bench_longform(num_beams: int, ctc_weight: float, batch: int,
     from ts_asr_whisper_tpu.models.dicow import init_dicow
     from ts_asr_whisper_tpu.ops.mel import log_mel_spectrogram
 
+    batch = max(batch // _BATCH_DIV, 1)
     cfg = make_config(
-        "large-v3-turbo",
+        _BENCH_MODEL,
         ctc_weight=ctc_weight,
         use_fddt=True,
         use_pre_pos_fddt=True,
@@ -114,8 +124,9 @@ def _bench_train_step(batch: int = 8):
     from ts_asr_whisper_tpu.models.dicow import init_dicow
     from ts_asr_whisper_tpu.training.trainer import make_train_step
 
+    batch = max(batch // _BATCH_DIV, 1)
     cfg = make_config(
-        "large-v3-turbo",
+        _BENCH_MODEL,
         ctc_weight=0.3,
         use_fddt=True,
         use_pre_pos_fddt=True,
