@@ -124,12 +124,13 @@ CFG_KW = dict(vocab_size=V, num_mel_bins=24, d_model=64, encoder_layers=2,
               dtype="float32", ctc_weight=0.3, use_fddt=True)
 
 
-@pytest.mark.parametrize("k_mode", ["full", "partial"])
-def test_beam_joint_full_loop_paths_agree(rng, k_mode):
+@pytest.mark.parametrize("k_mode,seed", [("full", 3), ("partial", 3),
+                                         ("partial", 11), ("partial", 29)])
+def test_beam_joint_full_loop_paths_agree(rng, k_mode, seed):
     """End-to-end beam_search with joint CTC: the matmul/threshold path and
     the gather path produce identical token sequences."""
     cfg = DiCoWConfig(**CFG_KW)
-    params = init_dicow(jax.random.PRNGKey(3), cfg)
+    params = init_dicow(jax.random.PRNGKey(seed), cfg)
     b, n = 2, 3
     enc = jnp.asarray(rng.standard_normal((b, 24, 64)).astype(np.float32))
     from ts_asr_whisper_tpu.models.dicow import (
