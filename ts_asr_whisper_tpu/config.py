@@ -147,6 +147,10 @@ class DecodingConfig:
     # TPU serving optimization: store the cross-attention KV cache int8
     # (halves the dominant HBM read per decode step; lossy, default off)
     cross_kv_quant: bool = False
+    # TPU serving optimization: keep the beam-mode CTC posterior (p_tv,
+    # a full (B, T, V) tensor — ~2.5 GB at batch-8 large-v3-turbo, on top
+    # of the same-sized log-probs) in bf16; psi accumulates fp32
+    ctc_p_bf16: bool = False
 
 
 @dataclass

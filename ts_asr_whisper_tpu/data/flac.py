@@ -19,8 +19,17 @@ import numpy as np
 
 from ..eval.native import _load
 
+# Caches the handle that actually carries the FLAC symbols.  When the
+# cached libtsaw_native.so predates them, _bind rebuilds and re-CDLLs —
+# without this cache every decode_flac_bytes call would repeat that
+# (one `make` subprocess per file across a corpus).
+_FLAC_LIB = None
+
 
 def _bind(lib):
+    global _FLAC_LIB
+    if _FLAC_LIB is not None:
+        return _FLAC_LIB
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i32p = ctypes.POINTER(ctypes.c_int32)
     if not hasattr(lib, "_flac_bound"):
@@ -51,6 +60,7 @@ def _bind(lib):
         lib.flac_decode.restype = ctypes.c_long
         lib.flac_decode.argtypes = [u8p, ctypes.c_long, i32p, ctypes.c_long]
         lib._flac_bound = True
+    _FLAC_LIB = lib
     return lib
 
 
@@ -75,16 +85,25 @@ def decode_flac_bytes(data: bytes) -> Tuple[np.ndarray, int, int]:
         raise ValueError("not a FLAC stream (bad STREAMINFO)")
     # total_samples may legitimately be 0 (unknown, e.g. piped encodes);
     # highly compressible audio can exceed any size-based guess, so grow
-    # the buffer on the decoder's capacity signal (-2) until it fits
+    # the buffer on the decoder's capacity signal (-2) until it fits.
+    # The retry cap is stream-derived, not a fixed 2^34: each decoded
+    # frame starts with a 14-bit sync (0xFF 0xF8..0xFB upper bits) and
+    # carries at most 32768 samples/channel, so (#sync-byte-pairs + 1) *
+    # 32768 bounds the decodable sample count — a corrupt/crafted file
+    # cannot drive multi-GiB allocations past what its own frame count
+    # could ever produce.
+    syncs = int(np.count_nonzero(
+        (buf[:-1] == 0xFF) & ((buf[1:] & 0xFC) == 0xF8)))
+    n_cap = min((syncs + 1) * 32768, 1 << 34)
     n_guess = total.value if total.value else \
-        (4 * len(data) * 8) // max(bps.value, 1) + 65536
+        min((4 * len(data) * 8) // max(bps.value, 1) + 65536, n_cap)
     while True:
         out = np.empty(n_guess * ch.value, dtype=np.int32)
         done = lib.flac_decode(
             buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), out.size)
-        if done == -2 and n_guess < (1 << 34):
-            n_guess *= 4
+        if done == -2 and n_guess < n_cap:
+            n_guess = min(n_guess * 4, n_cap)
             continue
         break
     if done < 0:

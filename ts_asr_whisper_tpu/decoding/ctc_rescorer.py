@@ -54,7 +54,8 @@ class CTCState(NamedTuple):
 
 def init_ctc_state(enc_logits: jax.Array, blank: int,
                    upper_to_lower: Optional[np.ndarray] = None,
-                   num_beams: int = 1, k: int = 500) -> CTCState:
+                   num_beams: int = 1, k: int = 500,
+                   p_bf16: bool = False) -> CTCState:
     """enc_logits: (B_audio, T, V) raw CTC-head logits.
     upper_to_lower: (2, n_pairs) [upper_ids; lower_ids] — upper-case token
     columns take their lower-case column's probability
@@ -64,7 +65,16 @@ def init_ctc_state(enc_logits: jax.Array, blank: int,
     audio row's CTC posterior, so psi is computed for the whole vocab with
     one MXU matmul over time-major probabilities (ops/ctc_prefix.py::
     ctc_psi_matmul); single-hypothesis decode keeps vocab-major log-probs
-    and gathers the K candidates' rows."""
+    and gathers the K candidates' rows.
+
+    HBM cost (beam mode): ``p_tv`` is a second full (B_audio, T, V)
+    tensor on top of ``logp_vt`` — at batch 8 / T=1500 / V=51866
+    (large-v3-turbo) each is ~2.5 GB fp32, so joint-CTC beam decoding
+    roughly doubles the rescorer's footprint vs greedy. ``p_bf16=True``
+    (GenerationConfig.ctc_p_bf16) halves the ``p_tv`` share: the psi
+    matmul accumulates in fp32 regardless (ops/ctc_prefix.py:118), but
+    token selection may differ from fp32 on near-ties, so it is off by
+    default for parity-exact decoding."""
     logp = jax.nn.log_softmax(enc_logits.astype(jnp.float32), axis=-1)
     if upper_to_lower is not None and np.asarray(upper_to_lower).size:
         upper = jnp.asarray(upper_to_lower[0])
@@ -77,7 +87,8 @@ def init_ctc_state(enc_logits: jax.Array, blank: int,
     v_dec = logp.shape[-1] - 1  # decoder vocab (ctc vocab minus blank)
     return CTCState(
         logp_vt=jnp.swapaxes(logp, 1, 2),
-        p_tv=jnp.exp(logp) if num_beams > 1 else None,
+        p_tv=((jnp.exp(logp).astype(jnp.bfloat16) if p_bf16
+               else jnp.exp(logp)) if num_beams > 1 else None),
         audio_idx=audio_idx,
         r_prev=r0[audio_idx],
         score_prev=jnp.zeros((bb,), jnp.float32),

@@ -41,6 +41,10 @@ class GenerationConfig:
     # serving optimization: int8 cross-KV cache (halves the dominant HBM
     # read of each decode step; lossy — off for parity-exact decoding)
     cross_kv_quant: bool = False
+    # serving optimization: bf16 CTC posterior for the beam psi matmul
+    # (halves the rescorer's ~2.5 GB/batch-8 p_tv tensor; accumulation
+    # stays fp32 — see decoding/ctc_rescorer.py::init_ctc_state)
+    ctc_p_bf16: bool = False
 
     @property
     def timestamp_begin(self) -> int:

@@ -461,7 +461,8 @@ def longform_generate(
                 prefix_len=forced_decoder_ids.shape[1])
             ctc_state = init_ctc_state(enc_logits, blank, upper_to_lower,
                                        num_beams=max(gen_cfg.num_beams, 1),
-                                       k=ctc_scorer.k)
+                                       k=ctc_scorer.k,
+                                       p_bf16=gen_cfg.ctc_p_bf16)
 
         if gen_cfg.num_beams > 1:
             from .beam import beam_search

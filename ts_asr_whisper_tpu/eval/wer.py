@@ -292,10 +292,29 @@ def _seglst_orc(ref: SegLST, hyp: SegLST,
     return _orc_group(ref_utts, hyp_streams, ref_times, hyp_times, collar)
 
 
+def _scatter_group_assignment(ref_f: SegLST, group_of, gid_parts) -> tuple:
+    """Map per-group ORC assignments back onto ``ref_f``'s input segment
+    order. Each group's assignment is in that group's sorted-by-start_time
+    order (the order ``_seglst_orc`` enumerates ref utterances in); without
+    this scatter, concatenating groups only matches the caller's order when
+    the input SegLST is already time-sorted."""
+    out = [None] * len(ref_f)
+    for gid, part_assign in gid_parts:
+        idxs = [i for i, s in enumerate(ref_f.segments) if group_of(s) == gid]
+        idxs.sort(key=lambda i: ref_f.segments[i]["start_time"])
+        for i, a in zip(idxs, part_assign):
+            out[i] = a
+    return tuple(out)
+
+
 def calc_session_tcorc_wer(ref: SegLST, hyp: SegLST, group_duration=5,
                            time_step=0.01, collar=5) -> dict:
     """Chunked tcORC (wer.py:41-86): VAD-split into ~group_duration groups,
-    per-group ORC after stream merging, error aggregation."""
+    per-group ORC after stream merging, error aggregation.
+
+    ``tcorc_assignment`` aligns with the input ``ref`` segment order after
+    empty-words segments are dropped; stream ids are per-group merged
+    stream indices."""
     ref_f = filter_empty_segments(ref)
     hyp_f = filter_empty_segments(hyp)
     if not len(ref_f):
@@ -316,7 +335,8 @@ def calc_session_tcorc_wer(ref: SegLST, hyp: SegLST, group_duration=5,
             if len(splits) else 0
 
     totals = {"errors": 0, "length": 0, "insertions": 0, "deletions": 0,
-              "substitutions": 0, "assignment": []}
+              "substitutions": 0}
+    gid_parts = []
     group_ids = sorted({group_of(s) for s in ref_f} | {group_of(s) for s in hyp_f})
     for gid in group_ids:
         ref_g = ref_f.filter(lambda s: group_of(s) == gid)
@@ -330,8 +350,9 @@ def calc_session_tcorc_wer(ref: SegLST, hyp: SegLST, group_duration=5,
         for k in ("errors", "length", "insertions", "deletions",
                   "substitutions"):
             totals[k] += res[k]
-        totals["assignment"].extend(res["assignment"])
-    totals["assignment"] = tuple(totals["assignment"])
+        gid_parts.append((gid, res["assignment"]))
+    totals["assignment"] = _scatter_group_assignment(ref_f, group_of,
+                                                     gid_parts)
     out = {"tcorc_wer": (totals["errors"] / totals["length"]
                          if totals["length"] else 0.0)}
     out.update({f"tcorc_{k}": v for k, v in totals.items()})
@@ -348,16 +369,28 @@ def calc_session_orc_wer(ref: SegLST, hyp: SegLST,
     here without stream merging or time constraint. Groups are independent
     only across true joint silences, so this is near-exact in practice but
     no longer guaranteed optimal; the exact path is always used when it
-    fits."""
+    fits.
+
+    ``orc_assignment`` aligns with the input ``ref`` segment order after
+    empty-words segments are dropped (both paths)."""
     ref_f = filter_empty_segments(ref)
     hyp_f = filter_empty_segments(hyp)
     from .orc import OrcGridTooLarge
 
     try:
-        res = _seglst_orc(ref_f, hyp_f)
+        res = dict(_seglst_orc(ref_f, hyp_f))
+        res["assignment"] = _scatter_group_assignment(
+            ref_f, lambda s: 0, [(0, res["assignment"])])
     except OrcGridTooLarge:
         if not len(ref_f):
-            raise
+            # degrade instead of re-raising: with no reference words every
+            # hypothesis word is an insertion under any assignment
+            n_ins = sum(len(str(s["words"]).split()) for s in hyp_f)
+            res = {"errors": n_ins, "length": 0, "insertions": n_ins,
+                   "deletions": 0, "substitutions": 0, "assignment": ()}
+            out = {"orc_wer": 0.0}
+            out.update({f"orc_{k}": v for k, v in res.items()})
+            return out
         ref_vad = create_vad_mask(ref_f.segments, time_step=time_step)
         hyp_vad = (create_vad_mask(hyp_f.segments, time_step=time_step)
                    if len(hyp_f) else ref_vad)
@@ -372,7 +405,8 @@ def calc_session_orc_wer(ref: SegLST, hyp: SegLST,
                 if len(splits) else 0
 
         res = {"errors": 0, "length": 0, "insertions": 0, "deletions": 0,
-               "substitutions": 0, "assignment": []}
+               "substitutions": 0}
+        gid_parts = []
         gids = sorted({group_of(s) for s in ref_f}
                       | {group_of(s) for s in hyp_f})
         for gid in gids:
@@ -386,8 +420,9 @@ def calc_session_orc_wer(ref: SegLST, hyp: SegLST,
             for k in ("errors", "length", "insertions", "deletions",
                       "substitutions"):
                 res[k] += part[k]
-            res["assignment"].extend(part["assignment"])
-        res["assignment"] = tuple(res["assignment"])
+            gid_parts.append((gid, part["assignment"]))
+        res["assignment"] = _scatter_group_assignment(ref_f, group_of,
+                                                      gid_parts)
     out = {"orc_wer": res["errors"] / res["length"] if res["length"] else 0.0}
     out.update({f"orc_{k}": v for k, v in res.items()})
     return out
