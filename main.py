@@ -44,6 +44,11 @@ def _enable_compilation_cache():
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     _enable_compilation_cache()
+    # multi-host coordination (torchrun equivalent, submit_tpu.sh): no-op
+    # unless JAX_COORDINATOR_ADDRESS is set in the environment
+    from ts_asr_whisper_tpu.parallel.dist import initialize as dist_init
+
+    dist_init()
     cfg = load_config(list(argv))
     logger.info("experiment=%s output_dir=%s", cfg.experiment,
                 cfg.training.output_dir)

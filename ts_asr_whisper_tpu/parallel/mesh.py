@@ -88,6 +88,21 @@ def param_shardings(params, mesh: Mesh, shard_params: bool = False,
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Place a host batch onto the mesh, sharded on the leading dim."""
+    """Place a host batch onto the mesh, sharded on the leading dim.
+
+    Single-process meshes take the full global batch. When the mesh spans
+    processes (multi-host SPMD), ``batch`` must be this process's LOCAL
+    rows of the global batch — global_batch[rank*local : (rank+1)*local]
+    in mesh device order — and the global array is assembled without any
+    cross-host data movement (each host's rows land on its own chips)."""
     sharding = batch_sharding(mesh, axis)
+    if jax.process_count() > 1 and any(
+            d.process_index != jax.process_index()
+            for d in mesh.devices.flat):
+        n_proc = len({d.process_index for d in mesh.devices.flat})
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x),
+                (x.shape[0] * n_proc,) + x.shape[1:]),
+            batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

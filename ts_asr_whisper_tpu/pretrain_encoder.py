@@ -133,8 +133,8 @@ def main(cfg: Cfg) -> Dict[str, float]:
                                     global_lang_id=cfg.data.global_lang_id)
             preds, labels = [], []
             window = 2 * mc.max_source_positions
-            for batch in eval_batches(dev_ds, collator,
-                                      t.per_device_eval_batch_size):
+            for _, batch in eval_batches(dev_ds, collator,
+                                         t.per_device_eval_batch_size):
                 feats = batch["input_features"]
                 b, n_mels, t_mel = feats.shape
                 # inputs longer than 30 s are chunked into 30 s pieces and

@@ -49,6 +49,7 @@ def make_generation_config(container: WhisperContainer, cfg: Cfg,
         length_penalty=cfg.decoding.length_penalty or 1.0,
         repetition_penalty=cfg.decoding.repetition_penalty,
         cross_kv_quant=cfg.decoding.cross_kv_quant,
+        ctc_p_bf16=cfg.decoding.ctc_p_bf16,
         begin_suppress_tokens=(),
         max_initial_timestamp_index=None,
     )
@@ -160,13 +161,17 @@ class ModelTrainer:
         mc = self.container.model_config
         import jax
 
+        n_proc = jax.process_count()
         mesh = getattr(self, "_eval_mesh", None)
-        if mesh is None and len(jax.devices()) > 1:
+        if mesh is None and len(jax.local_devices()) > 1:
             from .parallel.mesh import make_mesh
 
-            # DP decode over every local chip (one process drives the mesh;
-            # the reference instead spreads eval over DDP ranks)
-            mesh = self._eval_mesh = make_mesh()
+            # DP decode over every LOCAL chip; multi-host runs shard the
+            # eval batches across processes instead of the mesh (the
+            # reference's DDP eval sampler, evaluation.py:262-264), so
+            # each process decodes independently on its own devices
+            mesh = self._eval_mesh = make_mesh(
+                devices=jax.local_devices())
 
         # case-invariant CTC rescoring: the reference ALWAYS folds the CTC
         # log-probs with the tokenizer's lower->upper map
@@ -180,10 +185,13 @@ class ModelTrainer:
                 np.fromiter(upper_map.keys(), dtype=np.int64,
                             count=len(upper_map)),   # lower ids
             ])
-        preds, keys = [], []
+        preds = []  # (batch_index, sequences, label keys) per decoded batch
         bs = self.cfg.training.per_device_eval_batch_size
-        for batch in eval_batches(dataset, self.collator, bs,
-                                  pad_to_full=True):
+        for bi, batch in eval_batches(dataset, self.collator, bs,
+                                      pad_to_full=True,
+                                      batch_offset=jax.process_index()
+                                      % n_proc,
+                                      batch_stride=n_proc):
             forced = batch.get("forced_decoder_ids")
             # no language provided by the dataset -> STNO-aware language
             # detection on the first window (reference generation.py:151-221
@@ -201,13 +209,37 @@ class ModelTrainer:
                 upper_to_lower=upper_to_lower,
                 detect_lang=detect,
                 mesh=mesh)
-            preds.extend(list(out.sequences))
-            labels = batch["labels"]
-            for row in labels:
+            batch_keys = []
+            for row in batch["labels"]:
                 row = row[row != -100]
-                keys.append(tok.decode(row, skip_special_tokens=True))
+                batch_keys.append(tok.decode(row, skip_special_tokens=True))
+            preds.append((bi, [np.asarray(s) for s in out.sequences],
+                          batch_keys))
+        if n_proc > 1:
+            # reference evaluation.py:239-291: predictions gather across
+            # ranks, rank 0 scores, result broadcast to every rank
+            from .parallel.dist import (broadcast_from_main,
+                                        gather_from_processes, is_zero_rank)
+
+            all_parts = sorted(
+                (part for rank in gather_from_processes(preds)
+                 for part in rank),
+                key=lambda p: p[0])
+            res = None
+            if is_zero_rank():
+                res = compute_longform_metrics(
+                    [s for _, ps, _ in all_parts for s in ps],
+                    [k for _, _, ks in all_parts for k in ks],
+                    dataset, tok, output_dir, self.eval_text_norm,
+                    metrics_list=(metrics_list
+                                  or self.cfg.training.eval_metrics_list),
+                    save_visualizations=self.cfg.training.save_visualizations)
+            return broadcast_from_main(res)
+        preds.sort(key=lambda p: p[0])
         return compute_longform_metrics(
-            preds, keys, dataset, tok, output_dir, self.eval_text_norm,
+            [s for _, ps, _ in preds for s in ps],
+            [k for _, _, ks in preds for k in ks],
+            dataset, tok, output_dir, self.eval_text_norm,
             metrics_list=metrics_list or self.cfg.training.eval_metrics_list,
             save_visualizations=self.cfg.training.save_visualizations)
 
@@ -339,7 +371,11 @@ class ModelTrainer:
                 num_workers=t.dataloader_num_workers,
                 prefetch_factor=t.dataloader_prefetch_factor,
                 num_epochs=(None if t.max_steps and t.max_steps > 0
-                            else t.num_train_epochs))
+                            else t.num_train_epochs),
+                # multi-host SPMD: each process feeds its local rows of
+                # every global batch (see parallel/dist.py module doc)
+                process_index=jax.process_index(),
+                process_count=jax.process_count())
             try:
                 return trainer.train(iter(loader))
             except Exception as e:

@@ -19,7 +19,15 @@ class DataLoader:
     def __init__(self, dataset, collate_fn: Callable, batch_size: int,
                  shuffle: bool = True, seed: int = 0, drop_last: bool = True,
                  num_workers: int = 2, prefetch_factor: int = 2,
-                 num_epochs: Optional[int] = None):
+                 num_epochs: Optional[int] = None,
+                 process_index: int = 0, process_count: int = 1):
+        """``batch_size`` is the GLOBAL batch. With ``process_count > 1``
+        (multi-host SPMD) every process draws the same deterministic epoch
+        permutation and yields only its contiguous slice of each global
+        batch — rows [rank*local : (rank+1)*local] — matching what
+        parallel/mesh.py::shard_batch assembles into the global array.
+        The union of all processes' slices is exactly the single-process
+        batch stream (the reference's DistributedSampler contract)."""
         self.dataset = dataset
         self.collate_fn = collate_fn
         self.batch_size = batch_size
@@ -29,6 +37,15 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch_factor)
         self.num_epochs = num_epochs
+        if batch_size % max(process_count, 1):
+            raise ValueError(
+                f"global batch_size {batch_size} must divide evenly over "
+                f"{process_count} processes")
+        if process_count > 1 and not drop_last:
+            raise ValueError("multi-process loading requires drop_last "
+                             "(a ragged tail batch would desynchronize SPMD)")
+        self.process_index = process_index
+        self.process_count = max(process_count, 1)
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)
@@ -48,8 +65,10 @@ class DataLoader:
             idx = self._epoch_indices(epoch)
             end = len(idx) - (len(idx) % self.batch_size
                               if self.drop_last else 0)
+            local = self.batch_size // self.process_count
+            lo = self.process_index * local
             for i in range(0, end, self.batch_size):
-                yield idx[i : i + self.batch_size].tolist()
+                yield idx[i + lo : i + lo + local].tolist()
             epoch += 1
 
     def __iter__(self):
@@ -105,18 +124,27 @@ class DataLoader:
 
 
 def eval_batches(dataset, collate_fn: Callable, batch_size: int,
-                 pad_to_full: bool = False):
+                 pad_to_full: bool = False,
+                 batch_offset: int = 0, batch_stride: int = 1):
     """Sequential, non-shuffled batches covering the whole dataset.
 
     ``pad_to_full`` repeats the last sample so every batch has the same
     static shape (no recompilation for the tail batch); duplicates are
     deduplicated downstream by their (cut_id, spk_id) keys — the same
     mechanism the reference uses for DDP sampler repeats
-    (evaluation.py:262-264)."""
+    (evaluation.py:262-264).
+
+    ``batch_offset``/``batch_stride`` shard batches round-robin across
+    processes (the DDP eval sampler): only batches with index ≡ offset
+    (mod stride) are collated, so skipped batches cost nothing. Yields
+    (batch_index, batch) pairs so a multi-process gather can restore the
+    global order."""
     n = len(dataset)
-    for i in range(0, n, batch_size):
+    for bi, i in enumerate(range(0, n, batch_size)):
+        if bi % batch_stride != batch_offset:
+            continue
         idx = list(range(i, min(i + batch_size, n)))
         if pad_to_full and len(idx) < batch_size and n > 0:
             idx = idx + [idx[-1]] * (batch_size - len(idx))
         samples = [dataset[j] for j in idx]
-        yield collate_fn(samples)
+        yield bi, collate_fn(samples)
