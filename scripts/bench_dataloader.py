@@ -57,8 +57,13 @@ def main():
     p.add_argument("--duration", type=float, default=30.0)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--worker-type", choices=("thread", "process"),
+                   default="thread")
     p.add_argument("--device-mel", action="store_true",
                    help="re-enable the round-1 per-sample device mel")
+    p.add_argument("--sweep", action="store_true",
+                   help="emit samples/s at workers=1/4/8 (process workers "
+                        "past 1) + the pod-slice headroom line")
     args = p.parse_args()
 
     if args.device_mel:
@@ -89,6 +94,8 @@ def main():
     from ts_asr_whisper_tpu.data.tokenizer import ByteLevelTokenizer
     from ts_asr_whisper_tpu.training.dataloader import DataLoader
 
+    import os
+
     with tempfile.TemporaryDirectory() as td:
         tmp = Path(td)
         manifest = make_corpus(tmp, args.n_cuts, args.duration)
@@ -98,23 +105,56 @@ def main():
                                  global_lang_id="en")
         collator = DataCollator(tokenizer=ByteLevelTokenizer(),
                                 bos_token_id=0, max_length=64)
-        loader = DataLoader(dataset, collator, batch_size=args.batch,
-                            num_workers=args.workers, prefetch_factor=4,
-                            num_epochs=1, shuffle=False)
-        # warmup one batch (fft plan caches, file cache)
-        next(iter(loader))
-        t0 = time.perf_counter()
-        n = 0
-        for batch in loader:
-            n += batch["input_features"].shape[0]
-        elapsed = time.perf_counter() - t0
-    print(json.dumps({
-        "metric": "dataloader_samples_per_s",
-        "value": round(n / elapsed, 2),
-        "unit": "samples_per_s",
-        "device_mel": bool(args.device_mel),
-        "workers": args.workers,
-    }))
+        cores = len(os.sched_getaffinity(0)) if hasattr(os, "sched_getaffinity") \
+            else (os.cpu_count() or 1)
+
+        def measure(workers, worker_type):
+            loader = DataLoader(dataset, collator, batch_size=args.batch,
+                                num_workers=workers, prefetch_factor=4,
+                                num_epochs=1, shuffle=False,
+                                worker_type=worker_type)
+            # warmup one batch (fft plan caches, file cache, worker forks)
+            next(iter(loader))
+            t0 = time.perf_counter()
+            n = 0
+            for batch in loader:
+                n += batch["input_features"].shape[0]
+            return n / (time.perf_counter() - t0)
+
+        def emit(rate, workers, worker_type):
+            print(json.dumps({
+                "metric": f"dataloader_samples_per_s_w{workers}",
+                "value": round(rate, 2),
+                "unit": "samples_per_s",
+                "device_mel": bool(args.device_mel),
+                "workers": workers,
+                "worker_type": worker_type,
+                "host_cores": cores,
+            }), flush=True)
+
+        if args.sweep:
+            # an 8-chip v5e slice at the measured train step rate consumes
+            # ~54 samples/s; headroom = best aggregate rate / 54. Worker
+            # scaling is core-bound: with fewer cores than workers the
+            # extra workers only measure contention (this CI harness has
+            # ONE core — the sweep documents that; real v5e hosts have
+            # >100).
+            best = 0.0
+            for workers, worker_type in ((1, "thread"), (4, "process"),
+                                         (8, "process")):
+                rate = measure(workers, worker_type)
+                emit(rate, workers, worker_type)
+                best = max(best, rate)
+            print(json.dumps({
+                "metric": "dataloader_headroom_vs_8chip_demand",
+                "value": round(best / 54.0, 2),
+                "unit": "x_demand",
+                "host_cores": cores,
+                "note": "demand = 8 chips x 6.7 train samples/s/chip",
+            }), flush=True)
+        else:
+            emit(measure(args.workers, args.worker_type), args.workers,
+                 args.worker_type)
 
 
 if __name__ == "__main__":

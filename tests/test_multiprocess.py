@@ -36,6 +36,10 @@ REPO = Path(__file__).resolve().parents[1]
 WORKER = REPO / "tests" / "mp_worker.py"
 
 
+class Boom(Exception):
+    """Module-level so a forked dataloader worker can pickle it back."""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("", 0))
@@ -274,3 +278,37 @@ def test_dataloader_process_slices_partition_global_batch():
     with pytest.raises(ValueError, match="drop_last"):
         DataLoader(data, process_index=0, process_count=2,
                    drop_last=False, **kw)
+
+
+def test_process_workers_match_thread_workers():
+    """Forked-process loading (the torch dataloader_num_workers equivalent
+    for multi-core featurization) yields the identical ordered batch
+    stream, and worker exceptions propagate to the consumer."""
+    from ts_asr_whisper_tpu.training.dataloader import DataLoader
+
+    data = [{"x": np.full((3,), i, np.float32)} for i in range(24)]
+
+    def collate(samples):
+        return {"x": np.stack([s["x"] for s in samples])}
+
+    kw = dict(collate_fn=collate, batch_size=4, seed=11, num_epochs=2)
+    threads = list(DataLoader(data, num_workers=2, **kw))
+    procs = list(DataLoader(data, num_workers=3, worker_type="process", **kw))
+    assert len(threads) == len(procs) == 12
+    for bt, bp in zip(threads, procs):
+        np.testing.assert_array_equal(bt["x"], bp["x"])
+
+    def exploding_collate(samples):
+        if float(samples[0]["x"][0]) >= 12:
+            raise Boom("bad sample")
+        return collate(samples)
+
+    loader = DataLoader(data, collate_fn=exploding_collate, batch_size=4,
+                        shuffle=False, num_workers=2, num_epochs=1,
+                        worker_type="process")
+    with pytest.raises(Boom, match="bad sample"):
+        list(loader)
+
+    with pytest.raises(ValueError, match="worker_type"):
+        DataLoader(data, collate_fn=collate, batch_size=4,
+                   worker_type="greenlet")

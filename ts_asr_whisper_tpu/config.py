@@ -151,6 +151,9 @@ class DecodingConfig:
     # a full (B, T, V) tensor — ~2.5 GB at batch-8 large-v3-turbo, on top
     # of the same-sized log-probs) in bf16; psi accumulates fp32
     ctc_p_bf16: bool = False
+    # per-step top-k att/CTC/fused dump during joint decoding (reference
+    # CTCRescorerLogitsProcessor debug, decoding.py:214-266)
+    joint_decode_debug: bool = False
 
 
 @dataclass
@@ -225,6 +228,10 @@ class TrainingConfig:
 
     dataloader_num_workers: int = 2
     dataloader_prefetch_factor: int = 2
+    # "thread" overlaps featurization with the device step; "process"
+    # forks real OS workers (torch-style) to scale feeding past one core
+    dataloader_worker_type: str = "thread"
+
 
     seed: int = 42
     watch_grads: bool = False

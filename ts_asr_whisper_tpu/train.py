@@ -50,6 +50,7 @@ def make_generation_config(container: WhisperContainer, cfg: Cfg,
         repetition_penalty=cfg.decoding.repetition_penalty,
         cross_kv_quant=cfg.decoding.cross_kv_quant,
         ctc_p_bf16=cfg.decoding.ctc_p_bf16,
+        joint_debug=cfg.decoding.joint_decode_debug,
         begin_suppress_tokens=(),
         max_initial_timestamp_index=None,
     )
@@ -161,6 +162,11 @@ class ModelTrainer:
         mc = self.container.model_config
         import jax
 
+        if self.gen_cfg.joint_debug:
+            from .decoding.ctc_rescorer import set_joint_debug_decoder
+
+            set_joint_debug_decoder(
+                lambda ids: tok.decode(ids, skip_special_tokens=False))
         n_proc = jax.process_count()
         mesh = getattr(self, "_eval_mesh", None)
         if mesh is None and len(jax.local_devices()) > 1:
@@ -370,6 +376,7 @@ class ModelTrainer:
                 seed=t.seed,
                 num_workers=t.dataloader_num_workers,
                 prefetch_factor=t.dataloader_prefetch_factor,
+                worker_type=t.dataloader_worker_type,
                 num_epochs=(None if t.max_steps and t.max_steps > 0
                             else t.num_train_epochs),
                 # multi-host SPMD: each process feeds its local rows of

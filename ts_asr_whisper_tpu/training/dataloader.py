@@ -20,14 +20,29 @@ class DataLoader:
                  shuffle: bool = True, seed: int = 0, drop_last: bool = True,
                  num_workers: int = 2, prefetch_factor: int = 2,
                  num_epochs: Optional[int] = None,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 worker_type: str = "thread"):
         """``batch_size`` is the GLOBAL batch. With ``process_count > 1``
         (multi-host SPMD) every process draws the same deterministic epoch
         permutation and yields only its contiguous slice of each global
         batch — rows [rank*local : (rank+1)*local] — matching what
         parallel/mesh.py::shard_batch assembles into the global array.
         The union of all processes' slices is exactly the single-process
-        batch stream (the reference's DistributedSampler contract)."""
+        batch stream (the reference's DistributedSampler contract).
+
+        ``worker_type``: "thread" (default) overlaps featurization with
+        the device step — enough when per-core featurization outruns the
+        chips. "process" forks ``num_workers`` OS workers (the torch
+        dataloader_num_workers equivalent) for multi-core scaling past
+        the GIL: a v5e-8 slice consumes ~54 samples/s at the measured
+        step rate while one core featurizes ~40-50 samples/s, so feeding
+        a pod slice needs real cores. Batches return pickled over pipes —
+        at ~1 MB/sample mel payload and pod-slice demand that is ~55 MB/s
+        against multi-GB/s pipe bandwidth, so a shared-memory handoff
+        would save <2% and is not worth its lifecycle complexity. Workers
+        are forked lazily at first iteration and inherit the dataset
+        read-only (zero-copy); order and determinism match the thread
+        path exactly."""
         self.dataset = dataset
         self.collate_fn = collate_fn
         self.batch_size = batch_size
@@ -46,6 +61,10 @@ class DataLoader:
                              "(a ragged tail batch would desynchronize SPMD)")
         self.process_index = process_index
         self.process_count = max(process_count, 1)
+        if worker_type not in ("thread", "process"):
+            raise ValueError(f"worker_type must be 'thread' or 'process', "
+                             f"got {worker_type!r}")
+        self.worker_type = worker_type
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)
@@ -72,6 +91,12 @@ class DataLoader:
             epoch += 1
 
     def __iter__(self):
+        if self.worker_type == "process":
+            yield from self._iter_processes()
+            return
+        yield from self._iter_threads()
+
+    def _iter_threads(self):
         from concurrent.futures import ThreadPoolExecutor
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -121,6 +146,89 @@ class DataLoader:
                     q.get_nowait()
             except Exception:
                 pass
+
+    def _iter_processes(self):
+        """Forked OS workers pulling (seq, indices) tasks; the consumer
+        reorders results so the batch stream is identical to the thread
+        path. Errors pickle back and re-raise at the consumer; shutdown
+        terminates workers so no zombie survives a broken iteration."""
+        import multiprocessing as mp
+
+        if "fork" not in mp.get_all_start_methods():
+            yield from self._iter_threads()  # non-POSIX fallback
+            return
+        ctx = mp.get_context("fork")
+        task_q = ctx.SimpleQueue()
+        res_q = ctx.SimpleQueue()
+
+        def worker():
+            while True:
+                item = task_q.get()
+                if item is None:
+                    return
+                seq, idxs = item
+                try:
+                    batch = self.collate_fn([self.dataset[i] for i in idxs])
+                    res_q.put((seq, batch, None))
+                except BaseException as e:
+                    try:
+                        res_q.put((seq, None, e))
+                    except Exception:  # unpicklable exception
+                        res_q.put((seq, None, RuntimeError(repr(e))))
+
+        workers = [ctx.Process(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for w in workers:
+            w.start()
+
+        # the feeder keeps at most prefetch*num_workers tasks in flight
+        # (bounded host memory) and runs in a thread so infinite-epoch
+        # streams never block construction
+        inflight = threading.Semaphore(self.prefetch * self.num_workers)
+        stop = threading.Event()
+        total = [None]
+
+        def feeder():
+            n = 0
+            for batch_idx in self._batches():
+                while not inflight.acquire(timeout=0.2):
+                    if stop.is_set():
+                        return
+                if stop.is_set():
+                    return
+                task_q.put((n, batch_idx))
+                n += 1
+            total[0] = n
+
+        feed_thread = threading.Thread(target=feeder, daemon=True)
+        feed_thread.start()
+        try:
+            expected = 0
+            stash = {}
+            while True:
+                if total[0] is not None and expected >= total[0]:
+                    break
+                seq, batch, err = res_q.get()
+                stash[seq] = (batch, err)
+                while expected in stash:
+                    batch, err = stash.pop(expected)
+                    expected += 1
+                    inflight.release()
+                    if err is not None:
+                        raise err
+                    yield batch
+        finally:
+            stop.set()
+            for _ in workers:
+                try:
+                    task_q.put(None)
+                except Exception:
+                    pass
+            for w in workers:
+                w.join(timeout=1.0)
+                if w.is_alive():
+                    w.terminate()
+                    w.join(timeout=1.0)
 
 
 def eval_batches(dataset, collate_fn: Callable, batch_size: int,
