@@ -14,6 +14,11 @@ north-star headline):
 3. train_step_samples_per_s — jitted train step (bf16 compute, remat,
    AdamW, donated buffers) at batch 8 on 30 s windows.
 
+Plus one line per remaining README throughput claim (every README number
+maps 1:1 onto an emitted metric): the beam device-window rate, the
+encoder-only RTFx, the single-worker dataloader rate, and the native
+tcpWER session-scoring latency.
+
 ``vs_baseline`` for decode = value / 50 (the >=50x real-time north star;
 the reference publishes no throughput numbers). For training there is no
 reference number; vs_baseline is null.
@@ -116,6 +121,98 @@ def _bench_longform(num_beams: int, ctc_weight: float, batch: int,
     return rtfx, rtfx_upload, rtfx_dev
 
 
+def _bench_encoder(batch: int = 16):
+    """Encoder-only RTFx on 30 s windows (conv stem + FDDT + layer stack),
+    bf16, whatever attention impl main() selected."""
+    import jax
+    import jax.numpy as jnp
+
+    from ts_asr_whisper_tpu.models.config import make_config
+    from ts_asr_whisper_tpu.models.convert import cast_params
+    from ts_asr_whisper_tpu.models.dicow import (
+        dicow_encoder_forward,
+        init_dicow,
+    )
+
+    batch = max(batch // _BATCH_DIV, 1)
+    cfg = make_config(_BENCH_MODEL, ctc_weight=0.0, use_fddt=True,
+                      use_pre_pos_fddt=True, non_target_fddt_value=0.5,
+                      dtype="bfloat16")
+    params = cast_params(init_dicow(jax.random.PRNGKey(0), cfg),
+                         jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal(
+        (batch, cfg.num_mel_bins, 3000)).astype(np.float32))
+    stno = jnp.full((batch, 4, 1500), 0.25, jnp.float32)
+
+    fwd = jax.jit(lambda f, s: dicow_encoder_forward(
+        params["encoder"], cfg, f, s))
+    jax.block_until_ready(fwd(feats, stno))  # compile
+    iters = 6
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(feats, stno)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+    del params
+    gc.collect()
+    return batch * 30.0 * iters / elapsed
+
+
+def _bench_dataloader():
+    """Single-worker host featurization rate (WAV -> mel -> STNO ->
+    collate) via scripts/bench_dataloader.py; multi-worker scaling lives
+    there too (--sweep) but is core-bound, so the driver line is the
+    per-core rate."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "scripts/bench_dataloader.py", "--workers", "1",
+         "--n-cuts", "96"],
+        capture_output=True, text=True, timeout=600)
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            rec = json.loads(line)
+            return float(rec["value"])
+        except (ValueError, KeyError):
+            continue
+    raise RuntimeError(f"bench_dataloader produced no metric: {out.stdout!r} "
+                       f"{out.stderr[-500:]!r}")
+
+
+def _bench_tcpwer_session(n_words: int = 2400, n_spk: int = 4):
+    """Native-matcher scoring latency for one long session (the host-side
+    cost per meeting at eval time)."""
+    from ts_asr_whisper_tpu.eval.seglst import SegLST
+    from ts_asr_whisper_tpu.eval.wer import calc_session_tcp_wer
+
+    rng = np.random.default_rng(0)
+    vocab = [f"w{i}" for i in range(200)]
+
+    def session(prefix):
+        segs, t = [], 0.0
+        per_seg = 8
+        for i in range(n_words // per_seg):
+            segs.append({
+                "session_id": "s",
+                "speaker": f"{prefix}{i % n_spk}",
+                "start_time": t,
+                "end_time": t + 3.0,
+                "words": " ".join(rng.choice(vocab, per_seg))})
+            t += 2.5
+        return SegLST(segs)
+
+    ref, hyp = session("A"), session("h")
+    calc_session_tcp_wer(ref, hyp, collar=5)  # warm (loads the .so)
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        calc_session_tcp_wer(ref, hyp, collar=5)
+    return (time.perf_counter() - t0) / iters * 1000.0
+
+
 def _bench_train_step(batch: int = 8):
     import jax
 
@@ -201,14 +298,30 @@ def main():
           round(rtfx_up, 2), "x_realtime_per_chip",
           round(rtfx_up / 50.0, 3))
 
-    rtfx_beam, _, _ = _bench_longform(num_beams=5, ctc_weight=0.2, batch=8,
-                                      n_windows=2, length_penalty=0.1)
+    rtfx_beam, _, rtfx_beam_dev = _bench_longform(
+        num_beams=5, ctc_weight=0.2, batch=8, n_windows=2,
+        length_penalty=0.1)
     _emit("longform_beam5_joint_ctc_rtfx_large-v3-turbo", round(rtfx_beam, 2),
           "x_realtime_per_chip", round(rtfx_beam / 50.0, 3))
+    _emit("longform_beam5_joint_ctc_device_window_rtfx_large-v3-turbo",
+          round(rtfx_beam_dev, 2), "x_realtime_per_chip",
+          round(rtfx_beam_dev / 50.0, 3))
+
+    enc_rtfx = _bench_encoder(batch=16)
+    _emit("encoder_rtfx_large-v3-turbo", round(enc_rtfx, 2),
+          "x_realtime_per_chip", round(enc_rtfx / 50.0, 3))
 
     sps = _bench_train_step(batch=8)
     _emit("train_step_samples_per_s_large-v3-turbo", round(sps, 2),
           "samples_per_s_per_chip", None)
+
+    loader_sps = _bench_dataloader()
+    _emit("dataloader_samples_per_s_w1", round(loader_sps, 2),
+          "samples_per_s_per_core", None)
+
+    tcp_ms = _bench_tcpwer_session()
+    _emit("tcpwer_session_2400w_ms", round(tcp_ms, 2), "ms_per_session",
+          None)
 
 
 if __name__ == "__main__":
