@@ -152,6 +152,11 @@ def test_decode_only(corpus, tmp_path):
     trainer = ModelTrainer(cfg)
     metrics = trainer.train()
     assert any(k.endswith("tcp_wer") for k in metrics)
+    # prediction-table artifact (reference wandb tables, evaluation.py:37-51)
+    tables = list(out_dir.rglob("eval_predictions.jsonl"))
+    assert tables
+    row = json.loads(tables[0].read_text().splitlines()[0])
+    assert {"session_id", "speaker", "label_str", "hyp_str"} <= set(row)
 
 
 def test_pretrain_encoder_few_steps(corpus, tmp_path):
@@ -181,6 +186,8 @@ def test_pretrain_encoder_few_steps(corpus, tmp_path):
     metrics = pretrain_main(cfg)
     assert any(k.endswith("_wer") for k in metrics), metrics
     assert (out_dir / "hf_export" / "model.safetensors").exists()
+    # short-form prediction table (reference write_wandb_pred)
+    assert list(out_dir.glob("eval_predictions_*.jsonl"))
 
 
 @pytest.fixture(scope="module")

@@ -101,6 +101,52 @@ def init_ctc_state(enc_logits: jax.Array, blank: int,
     )
 
 
+# host-side token decoder for the joint-decode debug dump; None prints ids
+_DEBUG_DECODER = None
+
+
+def set_joint_debug_decoder(decode_fn) -> None:
+    """Register ``decode_fn(ids) -> str`` (e.g. tokenizer.decode) so the
+    debug dump prints token text instead of raw ids."""
+    global _DEBUG_DECODER
+    _DEBUG_DECODER = decode_fn
+
+
+def _debug_print(step_tokens, cur_len, att_v, att_i, ctc_v, ctc_i,
+                 fused_v, fused_i, ctc_eos):
+    """Host callback: the reference's ``analyze_predictions`` table
+    (decoding.py:214-266) — per hypothesis, the top-k candidates by
+    attention, CTC and fused score, plus the running prefix and the CTC
+    EOS score."""
+    def tok_str(i):
+        if _DEBUG_DECODER is None:
+            return str(int(i))
+        try:
+            return repr(_DEBUG_DECODER([int(i)]))
+        except Exception:
+            return str(int(i))
+
+    print("\n" + "#" * 100)
+    for b in range(att_i.shape[0]):
+        print("-" * 80)
+        print(f"HYPOTHESIS {b}")
+        prefix = [int(t) for t in step_tokens[b][: int(cur_len)]]
+        if _DEBUG_DECODER is not None:
+            try:
+                prefix = _DEBUG_DECODER(prefix)
+            except Exception:
+                pass
+        print(f"\nPREFIX:\n{prefix}")
+        for title, ids, vals in (("ATT_TOKENS", att_i[b], att_v[b]),
+                                 ("CTC_TOKENS", ctc_i[b], ctc_v[b]),
+                                 ("NEXT_TOKENS", fused_i[b], fused_v[b])):
+            cells = [f"{tok_str(i)}:{float(v):.2f}"
+                     for i, v in zip(ids, vals)]
+            print(f"\n{title}: " + " | ".join(cells))
+        print(f"\nCTC_EOS: {float(ctc_eos[b]):.2f}\n")
+    print("#" * 100, flush=True)
+
+
 @dataclass(frozen=True)
 class CTCRescorer:
     """Static config for joint CTC rescoring (hashable jit argument)."""
@@ -111,6 +157,9 @@ class CTCRescorer:
     ctc_weight: float
     k: int = 500
     prefix_len: int = 3      # len(tokenizer.prefix_tokens)
+    # per-step top-k att/CTC/fused dump via jax.debug.callback (reference
+    # analyze_predictions, decoding.py:214-266); zero cost when False
+    debug: bool = False
 
     def _prefix_stats(self, tokens: jax.Array, cur_len: jax.Array):
         """Reference prefix transformations (decoding.py:277-302), computed
@@ -208,6 +257,18 @@ class CTCRescorer:
 
         ctc_scores = tmp - state.score_prev[:, None]
         fused = (1.0 - self.ctc_weight) * scores + self.ctc_weight * ctc_scores
+
+        if self.debug:
+            dk = 10
+            att_v, att_i = jax.lax.top_k(scores, dk)
+            # reference blanks timestamps before the CTC top-k
+            # (decoding.py:221)
+            ctc_masked = jnp.where(is_ts, LOG_ZERO, ctc_scores)
+            ctc_v, ctc_i = jax.lax.top_k(ctc_masked, dk)
+            fused_v, fused_i = jax.lax.top_k(fused, dk)
+            jax.debug.callback(
+                _debug_print, tokens, cur_len, att_v, att_i, ctc_v, ctc_i,
+                fused_v, fused_i, ctc_scores[:, self.eos_id], ordered=True)
 
         new_state = state._replace(cand_ids=cand_ids,
                                    decoded_len=decoded_len,

@@ -45,6 +45,9 @@ class GenerationConfig:
     # (halves the rescorer's ~2.5 GB/batch-8 p_tv tensor; accumulation
     # stays fp32 — see decoding/ctc_rescorer.py::init_ctc_state)
     ctc_p_bf16: bool = False
+    # per-step top-k att/CTC/fused debug dump during joint decoding
+    # (reference analyze_predictions, decoding.py:214-266)
+    joint_debug: bool = False
 
     @property
     def timestamp_begin(self) -> int:

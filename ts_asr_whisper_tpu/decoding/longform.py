@@ -458,7 +458,8 @@ def longform_generate(
                 timestamp_begin=gen_cfg.timestamp_begin,
                 ctc_weight=gen_cfg.ctc_weight,
                 k=min(500, gen_cfg.timestamp_begin - 1),
-                prefix_len=forced_decoder_ids.shape[1])
+                prefix_len=forced_decoder_ids.shape[1],
+                debug=gen_cfg.joint_debug)
             ctc_state = init_ctc_state(enc_logits, blank, upper_to_lower,
                                        num_beams=max(gen_cfg.num_beams, 1),
                                        k=ctc_scorer.k,

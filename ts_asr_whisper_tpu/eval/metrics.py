@@ -65,6 +65,47 @@ def save_session_outputs(processed_sessions: Dict[str, List[dict]],
         ref_seglst.dump(Path(out_dir) / "wer" / session_id / "ref.json")
 
 
+def _write_prediction_table(processed_sessions: Dict[str, List[dict]],
+                            out_dir, text_norm, references_cs,
+                            rows_to_log: int = 10) -> None:
+    """Compact (session, speaker) -> (label, hypothesis) table next to the
+    per-session SegLSTs — the reference's wandb prediction-table
+    observability (evaluation.py:37-51) as a plain JSONL artifact."""
+    import json
+
+    refs_by_session = {}
+    for c in references_cs:
+        rid = get_cut_recording_id(c)
+        for sup in c.supervisions:
+            key = (rid, str(getattr(sup, "speaker", "") or ""))
+            refs_by_session.setdefault(key, []).append(
+                text_norm(sup.text or ""))
+    rows = []
+    for session_id in sorted(processed_sessions):
+        by_spk: Dict[str, List[str]] = {}
+        for seg in sorted(processed_sessions[session_id],
+                          key=lambda s: s["start_time"]):
+            by_spk.setdefault(str(seg["speaker"]), []).append(
+                text_norm(seg["words"]))
+        # include reference speakers the hypothesis missed entirely (an
+        # all-deletions decode still gets a (label, "") row)
+        speakers = set(by_spk) | {spk for (rid, spk) in refs_by_session
+                                  if rid == session_id}
+        for spk in sorted(speakers):
+            if len(rows) >= rows_to_log:
+                break
+            rows.append({
+                "id": len(rows),
+                "session_id": session_id,
+                "speaker": spk,
+                "label_str": " ".join(
+                    refs_by_session.get((session_id, spk), [])),
+                "hyp_str": " ".join(by_spk.get(spk, []))})
+    with open(Path(out_dir) / "eval_predictions.jsonl", "w") as f:
+        for row in rows:
+            f.write(json.dumps(row) + "\n")
+
+
 def calculate_wers(processed_sessions, out_dir, metrics_list,
                    save_visualizations=False, collar=5) -> List[dict]:
     rows: List[dict] = []
@@ -111,6 +152,7 @@ def compute_longform_metrics(
 
     os.makedirs(output_dir, exist_ok=True)
     save_session_outputs(processed, output_dir, text_norm, references_cs)
+    _write_prediction_table(processed, output_dir, text_norm, references_cs)
     rows = calculate_wers(processed, output_dir, metrics_list,
                           save_visualizations=save_visualizations)
 
@@ -138,7 +180,8 @@ def compute_longform_metrics(
 
 
 def compute_shortform_metrics(predictions, labels, tokenizer, text_norm,
-                              output_dir: Optional[str] = None) -> Dict[str, float]:
+                              output_dir: Optional[str] = None,
+                              return_texts: bool = False):
     """jiwer-style WER/CER on decoded strings (evaluation.py:32-79),
     implemented with the native levenshtein (jiwer is not a dependency)."""
     import re
@@ -174,5 +217,8 @@ def compute_shortform_metrics(predictions, labels, tokenizer, text_norm,
             w = csv.writer(f)
             w.writerow(["label", "prediction"])
             w.writerows(zip(label_str, pred_str))
-    return {"wer": total_err / max(total_len, 1),
-            "cer": cer_err / max(cer_len, 1)}
+    metrics = {"wer": total_err / max(total_len, 1),
+               "cer": cer_err / max(cer_len, 1)}
+    if return_texts:
+        return metrics, pred_str, label_str
+    return metrics

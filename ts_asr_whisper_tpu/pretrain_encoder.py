@@ -123,6 +123,13 @@ def main(cfg: Cfg) -> Dict[str, float]:
     if cfg.data.dev_cutsets:
         from pathlib import Path
 
+        from .utils.observability import MetricsLogger
+
+        mlogger = MetricsLogger(
+            t.output_dir, run_name=t.run_name,
+            use_wandb=bool(t.report_to) and "wandb" in str(t.report_to),
+            project=cfg.wandb.project)
+
         for path in cfg.data.dev_cutsets:
             if not Path(path).exists():
                 continue
@@ -155,7 +162,12 @@ def main(cfg: Cfg) -> Dict[str, float]:
                 preds.extend(list(decoded))
                 labels.extend(list(batch["labels"]))
             name = os.path.basename(path).removesuffix(".jsonl.gz")
-            res = compute_shortform_metrics(preds, labels, tok, text_norm)
+            res, pred_str, label_str = compute_shortform_metrics(
+                preds, labels, tok, text_norm, return_texts=True)
             metrics.update({f"eval_{name}_{k}": v for k, v in res.items()})
             logger.info("pretrain eval %s: %s", name, res)
+            # prediction table (reference write_wandb_pred,
+            # evaluation.py:37-51): JSONL artifact + wandb table
+            mlogger.log_predictions(pred_str, label_str, step, tag=name)
+        mlogger.close()
     return metrics

@@ -46,6 +46,27 @@ class MetricsLogger:
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
 
+    def log_predictions(self, hyps, refs, step: int,
+                        rows_to_log: int = 10, tag: str = "") -> Path:
+        """Eval prediction table (reference write_wandb_pred,
+        evaluation.py:37-51): first N (label, hypothesis) string pairs as
+        a JSONL artifact next to the metrics stream, mirrored to a wandb
+        Table when wandb is live. Returns the artifact path."""
+        suffix = f"_{tag}" if tag else ""
+        path = self.path.parent / f"eval_predictions{suffix}_step{step}.jsonl"
+        rows = [[i, ref, hyp] for i, (hyp, ref) in
+                enumerate(zip(hyps, refs)) if i < rows_to_log]
+        with open(path, "w") as f:
+            for i, ref, hyp in rows:
+                f.write(json.dumps({"id": i, "label_str": ref,
+                                    "hyp_str": hyp}) + "\n")
+        if self._wandb is not None:
+            self._wandb.log(
+                {f"eval_predictions{suffix}/step_{step}": self._wandb.Table(
+                    columns=["id", "label_str", "hyp_str"], data=rows)},
+                step=step)
+        return path
+
     def close(self):
         self._file.close()
         if self._wandb is not None:
