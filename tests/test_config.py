@@ -65,28 +65,47 @@ def test_env_default_fallback():
     assert raw["training"]["output_dir"].startswith("exp/")
 
 
+# the reference's shipped config-group names, vendored so the parity
+# guarantee holds even when /root/reference is absent (the live tree is
+# still cross-checked against this list when present)
+REFERENCE_CONFIG_NAMES = [
+    "+pretrain=base", "+pretrain=turbo",
+    "+train=dicow_v3", "+train=se_dicow",
+    "+decode=dicow_v3_beam_joint", "+decode=dicow_v3_beam_joint_diar",
+    "+decode=dicow_v3_greedy",
+    "+decode=se_dicow_beam_joint", "+decode=se_dicow_beam_joint_diar",
+    "+decode=se_dicow_greedy",
+] + [f"+decode/enrollment_ablations={n}_{p}"
+     for n in (1, 2, 3) for p in (25, 50, 75, 100)] + [
+    "+decode/enrollment_ablations=4_100",
+    "+decode/enrollment_ablations=clean",
+]
+
+
 def test_reference_config_name_parity():
     """Every config group name the reference ships must compose here 1:1
-    (VERDICT: configs/decode incl. enrollment_ablations + beam_joint_diar)."""
+    (VERDICT: configs/decode incl. enrollment_ablations + beam_joint_diar).
+    The name list is vendored above; when the reference tree is present it
+    is additionally asserted to still MATCH the vendored list, so drift in
+    either direction fails loudly instead of skipping silently."""
     import os
     from pathlib import Path
 
-    ref_root = Path("/root/reference/configs")
-    if not ref_root.exists():
-        import pytest
-
-        pytest.skip("reference configs unavailable")
     os.environ.setdefault("MANIFEST_DIR", "/tmp/manifests")
     os.environ.setdefault("MANIFEST_DIR_DIAR", "/tmp/manifests")
     os.environ.setdefault("EXP_DIR", "/tmp/exp")
-    names = []
-    for group in ("pretrain", "train", "decode", "decode/enrollment_ablations"):
-        gdir = ref_root / group
-        if not gdir.exists():
-            continue
-        for y in sorted(gdir.glob("*.yaml")):
-            names.append(f"+{group}={y.stem}")
-    assert len(names) >= 24  # the reference ships 24 YAML configs
-    for name in names:
+
+    ref_root = Path("/root/reference/configs")
+    if ref_root.exists():
+        live = []
+        for group in ("pretrain", "train", "decode",
+                      "decode/enrollment_ablations"):
+            gdir = ref_root / group
+            for y in sorted(gdir.glob("*.yaml")):
+                live.append(f"+{group}={y.stem}")
+        assert sorted(live) == sorted(REFERENCE_CONFIG_NAMES)
+
+    assert len(REFERENCE_CONFIG_NAMES) == 24  # the reference ships 24 YAMLs
+    for name in REFERENCE_CONFIG_NAMES:
         cfg = load_config([name], n_devices=8)
         assert cfg.experiment, name
