@@ -146,13 +146,14 @@ def _bench_encoder(batch: int = 16):
         (batch, cfg.num_mel_bins, 3000)).astype(np.float32))
     stno = jnp.full((batch, 4, 1500), 0.25, jnp.float32)
 
-    fwd = jax.jit(lambda f, s: dicow_encoder_forward(
-        params["encoder"], cfg, f, s))
-    jax.block_until_ready(fwd(feats, stno))  # compile
+    # params as an ARGUMENT: closing over them would bake ~800 M weights
+    # into the program as constants (docs/PERFORMANCE.md timing pitfalls)
+    fwd = jax.jit(lambda p, f, s: dicow_encoder_forward(p, cfg, f, s))
+    jax.block_until_ready(fwd(params["encoder"], feats, stno))  # compile
     iters = 6
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fwd(feats, stno)
+        out = fwd(params["encoder"], feats, stno)
     jax.block_until_ready(out)
     elapsed = time.perf_counter() - t0
     del params
@@ -247,6 +248,12 @@ def _bench_train_step(batch: int = 8):
     )
 
     t.adam_mu_dtype = "bfloat16"
+    # TSAW_BENCH_REMAT picks the remat policy (full | dots | attn) for
+    # A/B runs; 'attn' saves per-layer attention outputs so the backward
+    # replay skips the flash forward (models/whisper.py::set_remat_policy)
+    from ts_asr_whisper_tpu.models.whisper import set_remat_policy
+
+    set_remat_policy(os.environ.get("TSAW_BENCH_REMAT", "attn"))
     tx, opt_state = build_optimizer(params, t,
                                     frozen_keywords=("decoder",))
     mask = trainable_mask(params, (), ("decoder",), preheat_only=False)

@@ -195,6 +195,9 @@ class TrainingConfig:
     bf16: bool = True
     bf16_full_eval: bool = True
     gradient_checkpointing: bool = False
+    # remat policy under gradient_checkpointing: full | dots | attn
+    # (models/whisper.py::set_remat_policy documents the measured trade)
+    remat_policy: str = "full"
 
     use_custom_optimizer: bool = False
     use_fddt_only_n_epochs: int = 0

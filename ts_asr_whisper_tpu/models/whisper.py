@@ -24,6 +24,7 @@ from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 import numpy as np
 
@@ -94,6 +95,11 @@ def multi_head_attention(
     v = linear(p["v_proj"], x_kv, dtype)
     q, k, v = (_split_heads(t, num_heads) for t in (q, k, v))
     out = sdpa(q, k, v, mask)
+    # named for the 'attn' remat policy: saving this one tensor lets the
+    # backward replay skip the flash-attention forward (its custom_vjp
+    # needs only q/k/v — cheap projections — and recomputes scores inside
+    # the fused backward kernel anyway)
+    out = jax.ad_checkpoint.checkpoint_name(out, "attn_out")
     return linear(p["out_proj"], _merge_heads(out), dtype)
 
 
@@ -153,13 +159,19 @@ def set_remat_policy(name: str) -> None:
     (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) — trades HBM
     for less recompute. Measured on v5e (turbo fine-tune, batch 8): 'full'
     1764 ms/step vs 'dots' 2199 ms/step — this model is HBM-bound, so extra
-    residual traffic loses; the knob stays for larger-VMEM parts. Read at
-    trace time (set before building train steps, like
-    ops.attention.set_attention_impl)."""
+    residual traffic loses. 'attn' saves ONLY the per-layer attention
+    outputs (the 'attn_out' checkpoint_name, ~1 GB bf16 at turbo batch 8):
+    the backward replay then skips the flash-attention forward while
+    everything else still recomputes — the targeted middle ground between
+    'full' and 'dots'. Read at trace time (set before building train
+    steps, like ops.attention.set_attention_impl)."""
     global _REMAT_POLICY
-    assert name in ("full", "dots"), name
-    _REMAT_POLICY = (None if name == "full"
-                     else jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    assert name in ("full", "dots", "attn"), name
+    _REMAT_POLICY = {
+        "full": None,
+        "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        "attn": jax.checkpoint_policies.save_only_these_names("attn_out"),
+    }[name]
 
 
 def scan_layers(layer_fn, stacked: Params, x: jax.Array, remat: bool = False):

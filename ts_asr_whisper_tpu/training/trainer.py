@@ -206,6 +206,10 @@ class Trainer:
             self.cfg.model.prefixes_to_preheat,
             self.cfg.model.params_to_keep_frozen_keywords,
             preheat_only=(self.state.phase == "preheat"))
+        if self.cfg.training.gradient_checkpointing:
+            from ..models.whisper import set_remat_policy
+
+            set_remat_policy(self.cfg.training.remat_policy)
         return make_train_step(self.model_cfg, tx, self.num_prefix_tokens,
                                remat=self.cfg.training.gradient_checkpointing,
                                trainable_mask=mask,
