@@ -68,9 +68,17 @@ def _bench_longform(num_beams: int, ctc_weight: float, batch: int,
         non_target_fddt_value=0.5,
         dtype="bfloat16",
     )
+    # beam-mode A/B knobs (lossy, default OFF to match the parity-exact
+    # configuration the README numbers quote): TSAW_BENCH_KVQ=1 turns on
+    # the int8 cross-KV cache, TSAW_BENCH_CTC_PBF16=1 the bf16 CTC
+    # posterior for the psi matmul
     gen_cfg = GenerationConfig(return_timestamps=True, max_length=448,
                                num_beams=num_beams, ctc_weight=ctc_weight,
-                               length_penalty=length_penalty)
+                               length_penalty=length_penalty,
+                               cross_kv_quant=os.environ.get(
+                                   "TSAW_BENCH_KVQ") == "1",
+                               ctc_p_bf16=os.environ.get(
+                                   "TSAW_BENCH_CTC_PBF16") == "1")
     params = init_dicow(jax.random.PRNGKey(0), cfg)
     params = cast_params(params, jnp.bfloat16)
 

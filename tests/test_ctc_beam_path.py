@@ -171,3 +171,33 @@ def test_beam_joint_full_loop_paths_agree(rng, k_mode, seed):
     np.testing.assert_allclose(np.asarray(out_m.scores),
                                np.asarray(out_g.scores), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_bf16_posterior_close_to_fp32(rng):
+    """ctc_p_bf16 (init_ctc_state p_bf16=True) halves the beam psi
+    matmul's HBM-resident posterior; with fp32 accumulation the fused
+    scores stay within bf16 input precision of the exact path."""
+    scorer, state_m, _ = _scorer_and_states(rng)
+    state_b = state_m._replace(p_tv=state_m.p_tv.astype(jnp.bfloat16))
+    bb = 4
+    tokens = np.full((bb, 12), EOS, np.int32)
+    tokens[:, 0] = SOT
+    tokens[:, 1] = LANG
+    tokens[:, 2] = TASK
+    tokens[:, 3] = rng.integers(34, 150, bb)
+    scores = jax.nn.log_softmax(jnp.asarray(
+        (rng.standard_normal((bb, V)) * 3).astype(np.float32)), axis=-1)
+    cur_len = jnp.asarray(4, jnp.int32)
+    fused_f, _ = scorer.rescore(state_m, jnp.asarray(tokens), cur_len, scores)
+    fused_b, _ = scorer.rescore(state_b, jnp.asarray(tokens), cur_len, scores)
+    f, b_ = np.asarray(fused_f), np.asarray(fused_b)
+    # compare where the fused score is not dominated by the -inf candidate
+    # floor; bf16 mantissa is 8 bits -> ~0.01 absolute in log space here
+    sel = f > -50
+    assert sel.any()
+    np.testing.assert_allclose(b_[sel], f[sel], atol=0.02, rtol=0.01)
+
+    # the constructor flag produces the bf16 posterior
+    enc = jnp.asarray(rng.standard_normal((2, 40, V + 1)).astype(np.float32))
+    st = init_ctc_state(enc, V, None, num_beams=2, p_bf16=True)
+    assert st.p_tv.dtype == jnp.bfloat16
