@@ -65,9 +65,15 @@ def run_primitives(pid, nproc, args):
                if pid == 0 else None)
     got = dist.broadcast_from_main(payload)
     gathered = dist.gather_from_processes({"rank": pid, "tag": f"p{pid}"})
+    # uneven large payloads: rank r ships ~(r+1)*100k chars, so the
+    # fixed-width gather must pad rank 0's pickle and trim it back
+    big = dist.gather_from_processes("x" * ((pid + 1) * 100_000))
+    big_ok = [len(s) == (r + 1) * 100_000 and set(s) == {"x"}
+              for r, s in enumerate(big)]
     shard = dist.shard_indices_by_process(10)
     dist.barrier("end")
-    return {"broadcast": got, "gathered": gathered, "shard": shard}
+    return {"broadcast": got, "gathered": gathered, "shard": shard,
+            "big_ok": big_ok}
 
 
 def _tiny_cfg():

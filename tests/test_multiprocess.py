@@ -89,6 +89,8 @@ def test_two_process_primitives(tmp_path):
         # gather is rank-indexed and complete on EVERY rank
         assert r["gathered"] == [{"rank": 0, "tag": "p0"},
                                  {"rank": 1, "tag": "p1"}]
+        # uneven ~100k/200k payloads survive the pad-to-max gather intact
+        assert r["big_ok"] == [True, True]
     # round-robin shards partition [0, 10)
     assert sorted(r0["shard"] + r1["shard"]) == list(range(10))
     assert not set(r0["shard"]) & set(r1["shard"])
