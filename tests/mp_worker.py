@@ -119,7 +119,10 @@ def run_train(pid, nproc, args):
     mcfg = _tiny_cfg()
     mesh = make_mesh()  # every device across every process
     params = init_dicow(jax.random.PRNGKey(0), mcfg)
-    shardings = param_shardings(params, mesh, shard_params=False)
+    # ZeRO-style sharding splits layer-stacked leaves ACROSS the process
+    # boundary (each host owns only its shard of every such leaf)
+    shardings = param_shardings(params, mesh,
+                                shard_params=bool(args.get("zero")))
     params = jax.tree.map(
         lambda p, s: jax.make_array_from_callback(
             p.shape, s, lambda idx: p[idx]), params, shardings)

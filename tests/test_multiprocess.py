@@ -123,6 +123,20 @@ def test_two_process_dp_train_step_matches_single_process(tmp_path):
     assert len(set(multi[0]["losses"])) > 1
 
 
+def test_two_process_zero_sharded_train_step(tmp_path):
+    """ZeRO-style param sharding across the PROCESS boundary (each host
+    owns only its shard of the layer-stacked leaves): loss must match the
+    unsharded 2-process run to fp32 reduction tolerance."""
+    plain = _spawn("train", tmp_path / "plain", nproc=2, ndev=2)
+    zero = _spawn("train", tmp_path / "zero", nproc=2, ndev=2,
+                  args={"zero": True})
+    assert zero[0]["losses"] == zero[1]["losses"]
+    np.testing.assert_allclose(zero[0]["losses"], plain[0]["losses"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(zero[0]["grad_norms"], plain[0]["grad_norms"],
+                               rtol=1e-5)
+
+
 # -- 2-process long-form eval (decode_only) ---------------------------------
 
 SR = 16000
