@@ -78,3 +78,23 @@ def test_beam_output_shapes_and_eos(setup):
     for i in range(2):
         if lens[i] < 10:  # finished beams end with EOS
             assert seqs[i, lens[i] - 1] == EOS
+
+
+def test_beam_tbhd_layout_matches_default(setup):
+    """The 'tbhd' KV-cache layout A/B switch (models/whisper.py) must stay
+    token- and score-equivalent to the default 'bhtd' layout."""
+    from ts_asr_whisper_tpu.models import whisper as W
+
+    cfg, params, gen_cfg, enc, prompt = setup
+    base = beam_search(params, cfg, gen_cfg, enc, jnp.asarray(prompt),
+                       max_new_tokens=8, num_beams=3)
+    W.set_kv_cache_layout("tbhd")
+    try:
+        alt = beam_search(params, cfg, gen_cfg, enc, jnp.asarray(prompt),
+                          max_new_tokens=8, num_beams=3)
+    finally:
+        W.set_kv_cache_layout("bhtd")
+    assert np.asarray(base.sequences).tolist() == \
+        np.asarray(alt.sequences).tolist()
+    np.testing.assert_allclose(np.asarray(base.scores),
+                               np.asarray(alt.scores), rtol=2e-5, atol=2e-5)

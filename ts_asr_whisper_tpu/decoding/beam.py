@@ -191,10 +191,13 @@ def beam_search(
         # reorder cache + ctc state by flat beam index. The KV cache moves
         # ~100 MB/step; see ops/reorder.py for the strategy trade-offs
         # (Pallas block-DMA kernel on TPU, one-hot matmul elsewhere)
+        from ..models.whisper import get_kv_cache_layout
         from ..ops.reorder import beam_reorder
 
         flat_beam_idx = (jnp.arange(b)[:, None] * n + chosen_beam).reshape(bb)
-        cache = {k: beam_reorder(v, chosen_beam, n, flat_beam_idx)
+        layout = get_kv_cache_layout()
+        cache = {k: beam_reorder(v, chosen_beam, n, flat_beam_idx,
+                                 layout=layout)
                  for k, v in c.cache.items()}
         if ctc_scorer is not None:
             ctc_state_new = ctc_scorer.update_state(

@@ -7,12 +7,18 @@ chosen ancestor beams. At large-v3-turbo beam-5 batch-8 scale that moves
 - XLA row gather ``v[:, idx]``: lowered at ~40 GB/s;
 - block-diagonal one-hot matmul: MXU-fast itself, but XLA surrounds it with
   layout-conversion copies of the full cache (trace: 4 x ~53 MB per step);
-- Pallas kernel (this module): one contiguous (H, T, hd) block DMA per
+- Pallas kernel (this module): one contiguous block DMA per
   (layer, hypothesis), destination layout pinned to the source — pure copy
   bandwidth, no layout churn.
 
 ``beam_reorder`` picks the Pallas kernel on TPU and falls back to the
 one-hot matmul elsewhere (exact in any dtype: one nonzero per output row).
+
+Cache layouts (models/whisper.py::set_kv_cache_layout):
+- 'tbhd' (L, T, Bb, H, hd) — the default; the hypothesis axis sits between
+  T and H so a block of (1, T, 1, H, hd) satisfies Pallas TPU's last-two-dim
+  constraint and the whole permutation is index arithmetic on dim 2.
+- 'bhtd' (L, Bb, H, T, hd) — legacy/sdpa-natural order.
 """
 
 from __future__ import annotations
@@ -51,14 +57,52 @@ def _reorder_pallas(idx: jax.Array, cache: jax.Array,
     )(idx.astype(jnp.int32), cache)
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _reorder_pallas_tbhd(idx: jax.Array, cache: jax.Array,
+                         interpret: bool = False) -> jax.Array:
+    """cache: (L, T, Bb, H, hd); idx: (Bb,) source hypothesis per output.
+
+    The block's last two dims (H, hd) equal the array's, which satisfies
+    the Pallas TPU (8, 128)-divisibility rule regardless of H/hd, and the
+    source block index only varies dim 2 — a pure strided DMA."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    l, t, bb, h, d = cache.shape
+
+    def kernel(idx_ref, in_ref, out_ref):
+        out_ref[...] = in_ref[...]
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(l, bb),
+            in_specs=[pl.BlockSpec(
+                (1, t, 1, h, d),
+                lambda li, bi, idx_ref: (li, 0, idx_ref[bi], 0, 0))],
+            out_specs=pl.BlockSpec(
+                (1, t, 1, h, d), lambda li, bi, idx_ref: (li, 0, bi, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
+        interpret=interpret,
+    )(idx.astype(jnp.int32), cache)
+
+
 def _reorder_onehot(chosen_beam: jax.Array, cache: jax.Array,
-                    n: int) -> jax.Array:
+                    n: int, layout: str = "bhtd") -> jax.Array:
     """chosen_beam: (B, n) per-row source beam in [0, n)."""
-    l, bb, h, t, d = cache.shape
-    b = bb // n
     onehot = jax.nn.one_hot(chosen_beam, n, dtype=cache.dtype)   # (B, n, n)
-    g = cache.reshape(l, b, n, h, t, d)
-    out = jnp.einsum("boi,lbihtd->lbohtd", onehot, g)
+    if layout == "tbhd":
+        l, t, bb, h, d = cache.shape
+        b = bb // n
+        g = cache.reshape(l, t, b, n, h, d)
+        out = jnp.einsum("boi,ltbihd->ltbohd", onehot, g)
+    else:
+        l, bb, h, t, d = cache.shape
+        b = bb // n
+        g = cache.reshape(l, b, n, h, t, d)
+        out = jnp.einsum("boi,lbihtd->lbohtd", onehot, g)
     return out.reshape(cache.shape)
 
 
@@ -78,11 +122,14 @@ def set_reorder_impl(impl: str) -> None:
 
 
 def beam_reorder(cache: jax.Array, chosen_beam: jax.Array, n: int,
-                 flat_idx: jax.Array) -> jax.Array:
-    """Permute hypotheses of a (L, Bb, H, T, hd) cache.
+                 flat_idx: jax.Array, layout: str = "bhtd") -> jax.Array:
+    """Permute hypotheses of a self-attention KV cache.
 
-    chosen_beam: (B, n) source beam within each audio row's group;
-    flat_idx: (Bb,) the same permutation as absolute rows."""
+    cache: (L, Bb, H, T, hd) for layout='bhtd', (L, T, Bb, H, hd) for
+    layout='tbhd'. chosen_beam: (B, n) source beam within each audio row's
+    group; flat_idx: (Bb,) the same permutation as absolute rows."""
     if _IMPL == "pallas" and jax.default_backend() == "tpu":
+        if layout == "tbhd":
+            return _reorder_pallas_tbhd(flat_idx, cache)
         return _reorder_pallas(flat_idx, cache)
-    return _reorder_onehot(chosen_beam, cache, n)
+    return _reorder_onehot(chosen_beam, cache, n, layout)
