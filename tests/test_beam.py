@@ -89,11 +89,45 @@ def test_beam_tbhd_layout_matches_default(setup):
     base = beam_search(params, cfg, gen_cfg, enc, jnp.asarray(prompt),
                        max_new_tokens=8, num_beams=3)
     W.set_kv_cache_layout("tbhd")
+    # the layout switch is trace-time state not in the jit cache key —
+    # clear so the tbhd variant actually traces
+    beam_search.clear_cache()
     try:
         alt = beam_search(params, cfg, gen_cfg, enc, jnp.asarray(prompt),
                           max_new_tokens=8, num_beams=3)
     finally:
         W.set_kv_cache_layout("bhtd")
+        beam_search.clear_cache()
+    assert np.asarray(base.sequences).tolist() == \
+        np.asarray(alt.sequences).tolist()
+    np.testing.assert_allclose(np.asarray(base.scores),
+                               np.asarray(alt.scores), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("impl", ["onehot", "fused", "fused_onehot",
+                                  "ancestry"])
+def test_beam_reorder_impls_equivalent(setup, impl):
+    """Every KV-cache reorder strategy (ops/reorder.py) must produce
+    identical beam tokens/scores: 'fused'/'fused_onehot' apply the beam
+    permutation lazily inside decoder_cached's layer scan, 'onehot' (and
+    'pallas' on TPU) permute the cache standalone between steps."""
+    from ts_asr_whisper_tpu.ops import reorder as R
+
+    cfg, params, gen_cfg, enc, prompt = setup
+    prev = R.get_reorder_impl()
+    try:
+        R.set_reorder_impl("onehot")
+        base = beam_search(params, cfg, gen_cfg, enc, jnp.asarray(prompt),
+                           max_new_tokens=9, num_beams=4)
+        R.set_reorder_impl(impl)
+        # NB: the impl switch is trace-time state; clear the jit cache so
+        # the new trace actually happens (the cache key does not include it)
+        beam_search.clear_cache()
+        alt = beam_search(params, cfg, gen_cfg, enc, jnp.asarray(prompt),
+                          max_new_tokens=9, num_beams=4)
+    finally:
+        R.set_reorder_impl(prev)
+        beam_search.clear_cache()
     assert np.asarray(base.sequences).tolist() == \
         np.asarray(alt.sequences).tolist()
     np.testing.assert_allclose(np.asarray(base.scores),

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from ..models.config import DiCoWConfig
 from ..models.whisper import (
     decoder_cached,
+    decoder_cached_ancestry,
     init_kv_cache,
     lm_logits,
     precompute_cross_kv,
@@ -116,6 +117,8 @@ def beam_search(
         logits: jax.Array          # (Bb, V)
         ctc_state: Any
         done: jax.Array
+        hist: jax.Array            # (Bb, L) group-local ancestor row per
+        #                            cache position ('ancestry' impl only)
 
     def improvement_possible(c: Carry):
         """HF stopping semantics: with early_stopping=True a batch row stops
@@ -189,33 +192,61 @@ def beam_search(
             in_axes=(0, 0, None))(new_tokens, chosen_tok, c.cur_len)
 
         # reorder cache + ctc state by flat beam index. The KV cache moves
-        # ~100 MB/step; see ops/reorder.py for the strategy trade-offs
-        # (Pallas block-DMA kernel on TPU, one-hot matmul elsewhere)
+        # ~100 MB/step; see ops/reorder.py for the strategy trade-offs:
+        # the default 'fused' impl skips the standalone permute and lets
+        # decoder_cached gather source rows inside its per-layer cache pass
         from ..models.whisper import get_kv_cache_layout
-        from ..ops.reorder import beam_reorder
+        from ..ops.reorder import beam_reorder, get_reorder_impl
 
         flat_beam_idx = (jnp.arange(b)[:, None] * n + chosen_beam).reshape(bb)
-        layout = get_kv_cache_layout()
-        cache = {k: beam_reorder(v, chosen_beam, n, flat_beam_idx,
-                                 layout=layout)
-                 for k, v in c.cache.items()}
+        impl = get_reorder_impl()
+        fused_reorder = impl.startswith("fused")
+        hist = c.hist
+        if impl == "ancestry":
+            # append-only cache: no permute at all — the ancestry map
+            # inherits the chosen ancestor's history and claims this
+            # step's slot for the row itself
+            cache = c.cache
+            hist = hist[flat_beam_idx].at[:, c.cur_len].set(
+                jnp.tile(jnp.arange(n, dtype=jnp.int32), b))
+        elif fused_reorder:
+            cache = c.cache
+            beam_src = flat_beam_idx
+            if impl == "fused_onehot":
+                # block-diagonal (Bb, Bb) one-hot: rows only ever pick a
+                # source within their own audio group
+                beam_src = (jnp.arange(bb)[None, :] ==
+                            flat_beam_idx[:, None]).astype(jnp.int8)
+        else:
+            layout = get_kv_cache_layout()
+            cache = {k: beam_reorder(v, chosen_beam, n, flat_beam_idx,
+                                     layout=layout)
+                     for k, v in c.cache.items()}
         if ctc_scorer is not None:
             ctc_state_new = ctc_scorer.update_state(
                 ctc_state_new, chosen_tok.reshape(bb), flat_beam_idx)
 
         # next decoder step
-        hidden, cache = decoder_cached(
-            dec, cfg, chosen_tok.reshape(bb, 1), c.cur_len, cache,
-            cross_kv)
+        if impl == "ancestry":
+            hidden, cache = decoder_cached_ancestry(
+                dec, cfg, chosen_tok.reshape(bb, 1), c.cur_len, cache,
+                cross_kv, hist, n)
+        else:
+            hidden, cache = decoder_cached(
+                dec, cfg, chosen_tok.reshape(bb, 1), c.cur_len, cache,
+                cross_kv, beam_src=beam_src if fused_reorder else None)
         logits = lm_logits(dec, hidden[:, -1]).astype(jnp.float32)
 
         return Carry(new_tokens, new_running_scores, fin_tokens, fin_scores,
                      fin_lengths, is_finished, c.cur_len + 1, cache, logits,
-                     ctc_state_new, c.done)
+                     ctc_state_new, c.done, hist)
 
+    # prefill rows are identical per group, so each row's history is its own
+    # row at every position (only positions < cur_len are ever consulted)
+    hist0 = jnp.tile(jnp.arange(n, dtype=jnp.int32)[:, None], (b, total_len))
     init = Carry(tokens, running_scores, fin_tokens, fin_scores, fin_lengths,
                  is_finished, jnp.asarray(prompt_len, jnp.int32), cache,
-                 logits0, ctc_state, jnp.asarray(False))
+                 logits0, ctc_state, jnp.asarray(False), hist0)
     final = jax.lax.while_loop(cond, body, init)
 
     # if a batch row finished nothing, fall back to its best running beam

@@ -369,7 +369,7 @@ _KV_LAYOUT = "bhtd"
 
 def set_kv_cache_layout(name: str) -> None:
     global _KV_LAYOUT
-    assert name in ("tbhd", "bhtd"), name
+    assert name in ("tbhd", "bhtd", "thbd"), name
     _KV_LAYOUT = name
 
 
@@ -379,12 +379,16 @@ def get_kv_cache_layout() -> str:
 
 def init_kv_cache(cfg: DiCoWConfig, batch: int, max_len: int) -> Dict[str, jax.Array]:
     head_dim = cfg.d_model // cfg.decoder_attention_heads
+    heads = cfg.decoder_attention_heads
     if _KV_LAYOUT == "tbhd":
-        shape = (cfg.decoder_layers, max_len, batch,
-                 cfg.decoder_attention_heads, head_dim)
+        shape = (cfg.decoder_layers, max_len, batch, heads, head_dim)
+    elif _KV_LAYOUT == "thbd":
+        # matches the physical layout XLA picks for the decode scan carry
+        # ({4,1,2,3,0} over the bhtd logical shape), so making it the
+        # logical shape lets the beam reorder run without layout copies
+        shape = (cfg.decoder_layers, max_len, heads, batch, head_dim)
     else:
-        shape = (cfg.decoder_layers, batch, cfg.decoder_attention_heads,
-                 max_len, head_dim)
+        shape = (cfg.decoder_layers, batch, heads, max_len, head_dim)
     dtype = cfg.compute_dtype
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
@@ -396,6 +400,7 @@ def decoder_cached(
     pos_offset: jax.Array,          # scalar int — tokens already in cache
     kv_cache: Dict[str, jax.Array],
     cross_kv,  # (k, v) tuple or int8 dict from quantize_cross_kv
+    beam_src: jax.Array = None,    # (B,) optional source-row permutation
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Run T_new tokens through the decoder with a static-size KV cache.
 
@@ -403,11 +408,23 @@ def decoder_cached(
     single-token steps (T_new = 1). Returns (final hidden (B, T_new, D),
     updated cache). Attention sees cache positions < pos_offset + T_new via
     a position mask, so the cache can be preallocated at max_len.
+
+    ``beam_src`` fuses beam-search cache reordering into the step: row b's
+    attention history is read from cache row ``beam_src[b]`` and the
+    updated cache is written at row b — the previous step's hypothesis
+    permutation is applied lazily during this step's cache pass instead of
+    as a separate full-cache permute kernel (see ops/reorder.py 'fused').
+    This halves the cache HBM traffic of a beam step (no standalone
+    read+write pass) and removes the XLA layout-conversion copies the
+    standalone kernel forced around the scan carry.
     """
     dtype = cfg.compute_dtype
     b, t_new = input_ids.shape
-    tbhd = _KV_LAYOUT == "tbhd"
-    max_len = kv_cache["k"].shape[1] if tbhd else kv_cache["k"].shape[-2]
+    layout = _KV_LAYOUT
+    tbhd = layout == "tbhd"
+    thbd = layout == "thbd"
+    t_major = tbhd or thbd
+    max_len = kv_cache["k"].shape[1] if t_major else kv_cache["k"].shape[-2]
     num_heads = cfg.decoder_attention_heads
 
     tok = params["embed_tokens"][input_ids].astype(dtype)
@@ -421,6 +438,24 @@ def decoder_cached(
 
     def step(h, xs):
         lp, cross, cache_k, cache_v = xs
+        if beam_src is not None:
+            if beam_src.ndim == 2:
+                # one-hot (Bb_out, Bb_src): permute as an MXU matmul, which
+                # XLA schedules in the carry's native layout (no gather op)
+                eq = {"tbhd": "ob,tbhd->tohd", "thbd": "ob,thbd->thod",
+                      "bhtd": "ob,bhtd->ohtd"}[layout]
+                oh = beam_src.astype(cache_k.dtype)
+                cache_k = jnp.einsum(eq, oh, cache_k)
+                cache_v = jnp.einsum(eq, oh, cache_v)
+            elif tbhd:
+                cache_k = cache_k[:, beam_src]
+                cache_v = cache_v[:, beam_src]
+            elif thbd:
+                cache_k = cache_k[:, :, beam_src]
+                cache_v = cache_v[:, :, beam_src]
+            else:
+                cache_k = cache_k[beam_src]
+                cache_v = cache_v[beam_src]
         res = h
         z = layer_norm(lp["self_attn_layer_norm"], h)
         head_dim = cfg.d_model // num_heads
@@ -428,21 +463,26 @@ def decoder_cached(
         k_new = linear(lp["self_attn"]["k_proj"], z, dtype)
         v_new = linear(lp["self_attn"]["v_proj"], z, dtype)
         q, k_new, v_new = (_split_heads(t, num_heads) for t in (q, k_new, v_new))
-        if tbhd:
-            # cache per layer: (T, B, H, hd); the new-token slab transposes
-            # to (T_new, B, H, hd) — contiguous at row `pos_offset` in the
-            # default layout, so the update is a single linear write
-            to_t = lambda x: jnp.moveaxis(x, 2, 0)  # noqa: E731
+        if t_major:
+            # cache per layer: (T, B, H, hd) or (T, H, B, hd); the
+            # new-token slab transposes so the update is a single linear
+            # write at row `pos_offset` in the default layout
+            if thbd:
+                to_t = lambda x: jnp.transpose(x, (2, 1, 0, 3))  # noqa: E731
+                eq_qk, eq_pv = "bhqd,thbd->bhqt", "bhqt,thbd->bhqd"
+            else:
+                to_t = lambda x: jnp.moveaxis(x, 2, 0)  # noqa: E731
+                eq_qk, eq_pv = "bhqd,tbhd->bhqt", "bhqt,tbhd->bhqd"
             cache_k = jax.lax.dynamic_update_slice(
                 cache_k, to_t(k_new), (pos_offset, 0, 0, 0))
             cache_v = jax.lax.dynamic_update_slice(
                 cache_v, to_t(v_new), (pos_offset, 0, 0, 0))
-            scores = jnp.einsum("bhqd,tbhd->bhqt", q, cache_k,
+            scores = jnp.einsum(eq_qk, q, cache_k,
                                 preferred_element_type=jnp.float32)
             scores = jnp.where(self_mask[None, None], scores,
                                jnp.finfo(jnp.float32).min)
             probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-            attn = jnp.einsum("bhqt,tbhd->bhqd", probs, cache_v)
+            attn = jnp.einsum(eq_pv, probs, cache_v)
         else:
             cache_k = jax.lax.dynamic_update_slice(
                 cache_k, k_new, (0, 0, pos_offset, 0))
@@ -466,6 +506,101 @@ def decoder_cached(
     # NOTE: keeping the scan rolled is measured FASTER than unrolling the
     # 4-layer turbo decoder (beam step 948 -> 1134 ms unrolled: the scan's
     # in-place carry buffers beat XLA's unrolled scheduling here)
+    x, (new_k, new_v) = jax.lax.scan(
+        step, x, (params["layers"], cross_kv,
+                  kv_cache["k"], kv_cache["v"]))
+    x = layer_norm(params["layer_norm"], x)
+    return x, {"k": new_k, "v": new_v}
+
+
+def decoder_cached_ancestry(
+    params: Params,
+    cfg: DiCoWConfig,
+    input_ids: jax.Array,          # (Bb, 1) one new token per hypothesis
+    pos_offset: jax.Array,          # scalar int — tokens already in cache
+    kv_cache: Dict[str, jax.Array],  # bhtd (L, Bb, H, T, hd), append-only
+    cross_kv,
+    hist: jax.Array,               # (Bb, T) group-local ancestor row per
+    #                                cache position (int32 in [0, n))
+    n: int,                        # beams per audio row
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Single-token decoder step for beam search with an APPEND-ONLY cache.
+
+    Beam search's per-step cache permutation is the classic TPU sore spot:
+    a standalone permute (Pallas or one-hot) costs a full cache read+write
+    AND forces XLA layout-conversion copies around the layer scan's carry
+    (measured ~1.6 ms/step at large-v3-turbo beam-5 batch-8 — see
+    ops/reorder.py). Here the cache is never permuted: row b writes its new
+    K/V at (b, pos) forever, and ``hist[b, t]`` records which row of b's
+    beam group holds the K/V of b's hypothesis at position t. Attention
+    computes scores against all n group rows (n× MXU FLOPs — noise at
+    decode shapes) and a one-hot ancestry mask selects the right row per
+    position. The carry layout is unconstrained (no custom call, no
+    cross-step permute), so XLA keeps one layout throughout and the copies
+    disappear. The permutation cost moves into ``hist`` bookkeeping —
+    (Bb, T) int32, ~20 KB — updated by the caller (decoding/beam.py).
+
+    Exact same attention values as decoder_cached + beam_reorder (the mask
+    selects precisely the ancestor's K/V); reduction order differs, so
+    scores may drift by float rounding only.
+    """
+    dtype = cfg.compute_dtype
+    bb = input_ids.shape[0]
+    l_layers, _, num_heads, max_len, head_dim = kv_cache["k"].shape
+    b = bb // n
+
+    tok = params["embed_tokens"][input_ids].astype(dtype)
+    x = tok + params["embed_positions"][pos_offset][None, None].astype(dtype)
+
+    key_pos = jnp.arange(max_len)
+    pos_ok = key_pos <= pos_offset                   # (T,)
+    # ancestry one-hot over ABSOLUTE rows (block-diagonal: a row only ever
+    # selects within its own beam group): sel[o, c, t] = 1 iff row c holds
+    # hypothesis o's K/V at position t (and t is visible)
+    hist_abs = (jnp.arange(bb, dtype=jnp.int32)[:, None] // n) * n + hist
+    sel = (hist_abs[:, None, :] == jnp.arange(bb)[None, :, None]) \
+        & pos_ok[None, None]
+    sel_f = sel.astype(jnp.float32)
+    any_sel = sel.any(axis=1)                        # (Bb, T)
+
+    def step(h, xs):
+        lp, cross, cache_k, cache_v = xs
+        res = h
+        z = layer_norm(lp["self_attn_layer_norm"], h)
+        q = linear(lp["self_attn"]["q_proj"], z, dtype) * head_dim ** -0.5
+        k_new = linear(lp["self_attn"]["k_proj"], z, dtype)
+        v_new = linear(lp["self_attn"]["v_proj"], z, dtype)
+        q, k_new, v_new = (_split_heads(t, num_heads) for t in (q, k_new, v_new))
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k_new, (0, 0, pos_offset, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v_new, (0, 0, pos_offset, 0))
+        # scores vs every row (cache operands shaped exactly as the sdpa
+        # path so the carry keeps its layout), then ancestry-select — one
+        # nonzero c per (o, t), so the select is exact
+        scores_all = jnp.einsum("bhqd,chtd->bhqct", q, cache_k,
+                                preferred_element_type=jnp.float32)
+        scores = jnp.einsum("bhqct,bct->bhqt", scores_all, sel_f)
+        scores = jnp.where(any_sel[:, None, None], scores,
+                           jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(scores, axis=-1)
+        wp = jnp.einsum("bhqt,bct->bhqct", probs, sel_f).astype(dtype)
+        attn = jnp.einsum("bhqct,chtd->bhqd", wp, cache_v)
+        h = res + linear(lp["self_attn"]["out_proj"], _merge_heads(attn), dtype)
+
+        res = h
+        z = layer_norm(lp["encoder_attn_layer_norm"], h)
+        q2 = linear(lp["encoder_attn"]["q_proj"], z, dtype) * head_dim ** -0.5
+        q2 = _split_heads(q2, num_heads)
+        attn = _cross_attention(q2, cross, dtype)
+        h = res + linear(lp["encoder_attn"]["out_proj"], _merge_heads(attn),
+                         dtype)
+
+        res = h
+        z = layer_norm(lp["final_layer_norm"], h)
+        h = res + mlp_block(lp, z, dtype)
+        return h, (cache_k, cache_v)
+
     x, (new_k, new_v) = jax.lax.scan(
         step, x, (params["layers"], cross_kv,
                   kv_cache["k"], kv_cache["v"]))

@@ -98,6 +98,11 @@ def _reorder_onehot(chosen_beam: jax.Array, cache: jax.Array,
         b = bb // n
         g = cache.reshape(l, t, b, n, h, d)
         out = jnp.einsum("boi,ltbihd->ltbohd", onehot, g)
+    elif layout == "thbd":
+        l, t, h, bb, d = cache.shape
+        b = bb // n
+        g = cache.reshape(l, t, h, b, n, d)
+        out = jnp.einsum("boi,lthbid->lthbod", onehot, g)
     else:
         l, bb, h, t, d = cache.shape
         b = bb // n
@@ -106,19 +111,32 @@ def _reorder_onehot(chosen_beam: jax.Array, cache: jax.Array,
     return out.reshape(cache.shape)
 
 
-_IMPL = "pallas"  # 'onehot' | 'pallas' — trace-time switch
+_IMPL = "pallas"  # 'onehot' | 'pallas' | 'fused' — trace-time switch
 
 
 def set_reorder_impl(impl: str) -> None:
-    """'pallas' routes TPU beam reorders through the block-DMA kernel
-    (the default; non-TPU backends always use the one-hot matmul).
-    Measured on v5e beam-5 batch-8 large-v3-turbo: the kernel itself runs
-    at 0.17 ms/step vs the one-hot matmul's 0.47 ms + 0.41 ms layout copy
-    per cache tensor, lifting the end-to-end beam-joint bench 128x -> 135x
-    realtime. 'onehot' remains as the A/B fallback."""
+    """Strategy for applying the beam permutation to the KV cache:
+
+    - 'fused' (default): no standalone permute at all — beam.py hands the
+      permutation to decoder_cached, which gathers each layer's cache rows
+      inside the scan step right before the cache update. The permute rides
+      the cache pass the decoder step already makes, halving cache HBM
+      traffic vs a standalone kernel and eliminating the XLA layout-
+      conversion copies that both standalone variants force around the
+      scan carry (measured v5e beam-5 batch-8 large-v3-turbo: the copies
+      alone were ~1.3 ms/step).
+    - 'pallas': standalone block-DMA kernel (kernel itself 0.17 ms/step vs
+      the one-hot matmul's 0.47 ms + 0.41 ms layout copy per cache tensor).
+    - 'onehot': MXU one-hot matmul; the only choice off-TPU.
+    """
     global _IMPL
-    assert impl in ("onehot", "pallas"), impl
+    assert impl in ("onehot", "pallas", "fused", "fused_onehot",
+                    "ancestry"), impl
     _IMPL = impl
+
+
+def get_reorder_impl() -> str:
+    return _IMPL
 
 
 def beam_reorder(cache: jax.Array, chosen_beam: jax.Array, n: int,
@@ -128,7 +146,8 @@ def beam_reorder(cache: jax.Array, chosen_beam: jax.Array, n: int,
     cache: (L, Bb, H, T, hd) for layout='bhtd', (L, T, Bb, H, hd) for
     layout='tbhd'. chosen_beam: (B, n) source beam within each audio row's
     group; flat_idx: (Bb,) the same permutation as absolute rows."""
-    if _IMPL == "pallas" and jax.default_backend() == "tpu":
+    if _IMPL == "pallas" and jax.default_backend() == "tpu" \
+            and layout != "thbd":
         if layout == "tbhd":
             return _reorder_pallas_tbhd(flat_idx, cache)
         return _reorder_pallas(flat_idx, cache)
