@@ -29,6 +29,7 @@ from ..models.whisper import (
     precompute_cross_kv,
     quantize_cross_kv,
 )
+from ..ops.topk import topk_large
 from .generation_config import GenerationConfig
 from .logits_process import make_logits_processor
 
@@ -148,7 +149,9 @@ def beam_search(
 
         scores = log_probs.reshape(b, n, vocab) + c.running_scores[..., None]
         flat = scores.reshape(b, n * vocab)
-        top_scores, top_idx = jax.lax.top_k(flat, k2)        # (B, 2n)
+        # ops/topk.py: lax.top_k by default; the exact-equivalent
+        # threshold-select alternative is an A/B switch (set_topk_impl)
+        top_scores, top_idx = topk_large(flat, k2)           # (B, 2n)
         src_beam = top_idx // vocab                           # (B, 2n)
         next_tok = (top_idx % vocab).astype(jnp.int32)
 
