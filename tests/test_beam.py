@@ -132,3 +132,25 @@ def test_beam_reorder_impls_equivalent(setup, impl):
         np.asarray(alt.sequences).tolist()
     np.testing.assert_allclose(np.asarray(base.scores),
                                np.asarray(alt.scores), rtol=2e-5, atol=2e-5)
+
+
+def test_beam_topk_thresholded_equivalent(setup):
+    """Beam search under set_topk_impl('thresholded') must match the
+    default lax.top_k path token/score-exactly."""
+    from ts_asr_whisper_tpu.ops import topk as T
+
+    cfg, params, gen_cfg, enc, prompt = setup
+    base = beam_search(params, cfg, gen_cfg, enc, jnp.asarray(prompt),
+                       max_new_tokens=9, num_beams=4)
+    T.set_topk_impl("thresholded")
+    beam_search.clear_cache()  # trace-time switch, not in the jit key
+    try:
+        alt = beam_search(params, cfg, gen_cfg, enc, jnp.asarray(prompt),
+                          max_new_tokens=9, num_beams=4)
+    finally:
+        T.set_topk_impl("lax")
+        beam_search.clear_cache()
+    assert np.asarray(base.sequences).tolist() == \
+        np.asarray(alt.sequences).tolist()
+    np.testing.assert_array_equal(np.asarray(base.scores),
+                                  np.asarray(alt.scores))

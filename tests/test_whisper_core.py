@@ -123,3 +123,62 @@ def test_roundtrip_export(hf_model, cfg, params):
     assert len(leaves1) == len(leaves2)
     for a, b in zip(leaves1, leaves2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_decoder_cached_ancestry_matches_permuted_cache():
+    """decoder_cached_ancestry must equal a decoder_cached step on an
+    explicitly permuted cache, for a nontrivial ancestry: rows within each
+    beam group pick mixed ancestors across positions."""
+    import jax
+    import jax.numpy as jnp
+
+    from ts_asr_whisper_tpu.models import whisper as w
+    from ts_asr_whisper_tpu.models.config import DiCoWConfig
+    from ts_asr_whisper_tpu.models.dicow import init_dicow
+
+    cfg = DiCoWConfig(
+        vocab_size=120, num_mel_bins=8, d_model=32, encoder_layers=1,
+        decoder_layers=2, encoder_attention_heads=4,
+        decoder_attention_heads=4, encoder_ffn_dim=64, decoder_ffn_dim=64,
+        max_source_positions=16, max_target_positions=32,
+        decoder_start_token_id=1, eos_token_id=2, pad_token_id=2,
+        bos_token_id=2, dtype="float32")
+    dec = init_dicow(jax.random.PRNGKey(0), cfg)["decoder"]
+    n, b, t_total, pos = 3, 2, 12, 5
+    bb = n * b
+    rng = np.random.default_rng(7)
+
+    enc = jnp.asarray(rng.standard_normal((bb, 16, 32)).astype(np.float32))
+    cross = w.precompute_cross_kv(dec, cfg, enc)
+    cache = w.init_kv_cache(cfg, bb, t_total)
+    filled = {
+        k: v.at[:, :, :, :pos].set(jnp.asarray(
+            rng.standard_normal(v[:, :, :, :pos].shape).astype(np.float32)))
+        for k, v in cache.items()}
+    ids = jnp.asarray(rng.integers(3, 120, (bb, 1)), jnp.int32)
+
+    # per-(row, position) ancestor within the group: valid only for t < pos
+    hist = jnp.asarray(rng.integers(0, n, (bb, t_total)), jnp.int32)
+    # hist[:, pos] must claim the row itself (the slot the step writes)
+    own = jnp.tile(jnp.arange(n, dtype=jnp.int32), b)
+    hist = hist.at[:, pos].set(own)
+
+    h_anc, cache_anc = w.decoder_cached_ancestry(
+        dec, cfg, ids, jnp.asarray(pos), filled, cross, hist, n)
+
+    # reference: materialize each row's history by gathering its ancestors
+    group_base = (jnp.arange(bb) // n) * n
+    abs_hist = group_base[:, None] + hist            # (Bb, T) absolute rows
+    perm = {
+        k: jnp.stack([
+            jnp.stack([v[:, abs_hist[r, t], :, t] for t in range(t_total)],
+                      axis=-2)                       # (L, H, T, hd)
+            for r in range(bb)], axis=1)             # (L, Bb, H, T, hd)
+        for k, v in filled.items()}
+    h_ref, _ = w.decoder_cached(dec, cfg, ids, jnp.asarray(pos), perm, cross)
+    np.testing.assert_allclose(np.asarray(h_anc), np.asarray(h_ref),
+                               rtol=2e-5, atol=2e-5)
+    # the append itself lands at (row, pos) of the un-permuted cache
+    for k in ("k", "v"):
+        got = np.asarray(cache_anc[k][:, :, :, pos])
+        assert np.abs(got).sum() > 0
