@@ -72,6 +72,18 @@ def _bench_longform(num_beams: int, ctc_weight: float, batch: int,
     # configuration the README numbers quote): TSAW_BENCH_KVQ=1 turns on
     # the int8 cross-KV cache, TSAW_BENCH_CTC_PBF16=1 the bf16 CTC
     # posterior for the psi matmul
+    # exact-equivalent strategy knobs (see docs/PERFORMANCE.md matrix):
+    # TSAW_BENCH_REORDER (pallas|onehot|fused|fused_onehot|ancestry),
+    # TSAW_BENCH_TOPK (lax|thresholded), TSAW_BENCH_KV_LAYOUT (bhtd|tbhd|thbd)
+    if os.environ.get("TSAW_BENCH_REORDER"):
+        from ts_asr_whisper_tpu.ops.reorder import set_reorder_impl
+        set_reorder_impl(os.environ["TSAW_BENCH_REORDER"])
+    if os.environ.get("TSAW_BENCH_TOPK"):
+        from ts_asr_whisper_tpu.ops.topk import set_topk_impl
+        set_topk_impl(os.environ["TSAW_BENCH_TOPK"])
+    if os.environ.get("TSAW_BENCH_KV_LAYOUT"):
+        from ts_asr_whisper_tpu.models.whisper import set_kv_cache_layout
+        set_kv_cache_layout(os.environ["TSAW_BENCH_KV_LAYOUT"])
     gen_cfg = GenerationConfig(return_timestamps=True, max_length=448,
                                num_beams=num_beams, ctc_weight=ctc_weight,
                                length_penalty=length_penalty,
