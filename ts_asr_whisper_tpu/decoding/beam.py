@@ -195,9 +195,8 @@ def beam_search(
             in_axes=(0, 0, None))(new_tokens, chosen_tok, c.cur_len)
 
         # reorder cache + ctc state by flat beam index. The KV cache moves
-        # ~100 MB/step; see ops/reorder.py for the strategy trade-offs:
-        # the default 'fused' impl skips the standalone permute and lets
-        # decoder_cached gather source rows inside its per-layer cache pass
+        # ~100 MB/step; see ops/reorder.py for the strategy trade-offs
+        # (default: the standalone Pallas block-DMA kernel on TPU)
         from ..models.whisper import get_kv_cache_layout
         from ..ops.reorder import beam_reorder, get_reorder_impl
 

@@ -533,20 +533,26 @@ def decoder_cached_ancestry(
     ops/reorder.py). Here the cache is never permuted: row b writes its new
     K/V at (b, pos) forever, and ``hist[b, t]`` records which row of b's
     beam group holds the K/V of b's hypothesis at position t. Attention
-    computes scores against all n group rows (n× MXU FLOPs — noise at
-    decode shapes) and a one-hot ancestry mask selects the right row per
-    position. The carry layout is unconstrained (no custom call, no
+    computes scores against the n rows of the group (n× MXU FLOPs — noise
+    at decode shapes) and a one-hot ancestry mask selects the right row
+    per position. The carry layout is unconstrained (no custom call, no
     cross-step permute), so XLA keeps one layout throughout and the copies
     disappear. The permutation cost moves into ``hist`` bookkeeping —
     (Bb, T) int32, ~20 KB — updated by the caller (decoding/beam.py).
 
     Exact same attention values as decoder_cached + beam_reorder (the mask
     selects precisely the ancestor's K/V); reduction order differs, so
-    scores may drift by float rounding only.
+    scores may drift by float rounding only. Scores are always computed in
+    fp32 (like decoder_cached's t-major paths), independent of the
+    encoder-side set_attention_impl knob. Requires the default 'bhtd'
+    cache layout.
     """
+    assert get_kv_cache_layout() == "bhtd", (
+        "ancestry reorder requires the 'bhtd' KV-cache layout, got "
+        f"{get_kv_cache_layout()!r}")
     dtype = cfg.compute_dtype
     bb = input_ids.shape[0]
-    l_layers, _, num_heads, max_len, head_dim = kv_cache["k"].shape
+    _, _, num_heads, max_len, head_dim = kv_cache["k"].shape
     b = bb // n
 
     tok = params["embed_tokens"][input_ids].astype(dtype)
@@ -554,14 +560,14 @@ def decoder_cached_ancestry(
 
     key_pos = jnp.arange(max_len)
     pos_ok = key_pos <= pos_offset                   # (T,)
-    # ancestry one-hot over ABSOLUTE rows (block-diagonal: a row only ever
-    # selects within its own beam group): sel[o, c, t] = 1 iff row c holds
-    # hypothesis o's K/V at position t (and t is visible)
-    hist_abs = (jnp.arange(bb, dtype=jnp.int32)[:, None] // n) * n + hist
-    sel = (hist_abs[:, None, :] == jnp.arange(bb)[None, :, None]) \
-        & pos_ok[None, None]
+    # group-local ancestry one-hot (the permutation is block-diagonal — a
+    # row only ever selects within its own beam group, so the c axis is n,
+    # not Bb): sel[b, o, c, t] = 1 iff group row c holds hypothesis
+    # (b, o)'s K/V at position t (and t is visible)
+    sel = (hist.reshape(b, n, 1, max_len) ==
+           jnp.arange(n)[None, None, :, None]) & pos_ok[None, None, None]
     sel_f = sel.astype(jnp.float32)
-    any_sel = sel.any(axis=1)                        # (Bb, T)
+    any_sel = sel.any(axis=2).reshape(bb, max_len)   # (Bb, T)
 
     def step(h, xs):
         lp, cross, cache_k, cache_v = xs
@@ -578,11 +584,16 @@ def decoder_cached_ancestry(
         # output — a clean last write XLA can do in place (the v1 order,
         # update-then-attend, degraded the append to a full-tensor rewrite
         # worth ~1.5 ms/step at beam-5 batch-8 large-v3-turbo).
-        # Cache operands keep the sdpa path's exact shapes; the ancestry
-        # select is exact (one nonzero c per (o, t)).
-        scores_all = jnp.einsum("bhqd,chtd->bhqct", q, cache_k,
+        # Einsums are group-local (leading-dim splits are free row-major
+        # reshapes); the ancestry select is exact (one nonzero c per
+        # (b, o, t)).
+        qg = q.reshape(b, n, num_heads, head_dim)
+        kg = cache_k.reshape(b, n, num_heads, max_len, head_dim)
+        vg = cache_v.reshape(b, n, num_heads, max_len, head_dim)
+        scores_all = jnp.einsum("bohd,bchtd->bohct", qg, kg,
                                 preferred_element_type=jnp.float32)
-        scores = jnp.einsum("bhqct,bct->bhqt", scores_all, sel_f)
+        scores = jnp.einsum("bohct,boct->boht", scores_all, sel_f) \
+            .reshape(bb, num_heads, 1, max_len)
         score_self = jnp.einsum("bhqd,bhqd->bhq", q, k_new,
                                 preferred_element_type=jnp.float32)
         is_pos = (key_pos == pos_offset)[None, None, None]    # (1,1,1,T)
@@ -594,8 +605,11 @@ def decoder_cached_ancestry(
         probs = jax.nn.softmax(scores, axis=-1)
         p_hist = jnp.where(is_pos, 0.0, probs)
         p_self = (probs - p_hist).sum(axis=-1)                # (Bb,H,1)
-        wp = jnp.einsum("bhqt,bct->bhqct", p_hist, sel_f).astype(dtype)
-        attn = jnp.einsum("bhqct,chtd->bhqd", wp, cache_v) \
+        wp = jnp.einsum("boht,boct->bohct",
+                        p_hist.reshape(b, n, num_heads, max_len),
+                        sel_f).astype(dtype)
+        attn = jnp.einsum("bohct,bchtd->bohd", wp, vg) \
+            .reshape(bb, num_heads, 1, head_dim) \
             + p_self[..., None].astype(dtype) * v_new
         h = res + linear(lp["self_attn"]["out_proj"], _merge_heads(attn), dtype)
         # append last: the updated buffers' only consumer is the carry out

@@ -15,10 +15,13 @@ chosen ancestor beams. At large-v3-turbo beam-5 batch-8 scale that moves
 one-hot matmul elsewhere (exact in any dtype: one nonzero per output row).
 
 Cache layouts (models/whisper.py::set_kv_cache_layout):
-- 'tbhd' (L, T, Bb, H, hd) — the default; the hypothesis axis sits between
-  T and H so a block of (1, T, 1, H, hd) satisfies Pallas TPU's last-two-dim
-  constraint and the whole permutation is index arithmetic on dim 2.
-- 'bhtd' (L, Bb, H, T, hd) — legacy/sdpa-natural order.
+- 'bhtd' (L, Bb, H, T, hd) — the DEFAULT (sdpa-natural order; measured
+  fastest end-to-end, see whisper.py's layout comment).
+- 'tbhd' (L, T, Bb, H, hd) — A/B variant; a block of (1, T, 1, H, hd)
+  satisfies Pallas TPU's last-two-dim constraint and the permutation is
+  index arithmetic on dim 2, but the strided DMA costs 2.3x bhtd's.
+- 'thbd' (L, T, H, Bb, hd) — A/B variant matching XLA's preferred scan
+  carry physical order; one-hot only.
 """
 
 from __future__ import annotations
@@ -115,19 +118,21 @@ _IMPL = "pallas"  # 'onehot' | 'pallas' | 'fused' — trace-time switch
 
 
 def set_reorder_impl(impl: str) -> None:
-    """Strategy for applying the beam permutation to the KV cache:
+    """Strategy for applying the beam permutation to the KV cache
+    (measured matrix in docs/PERFORMANCE.md; all token/score-equivalent):
 
-    - 'fused' (default): no standalone permute at all — beam.py hands the
+    - 'pallas' (the DEFAULT): standalone block-DMA kernel — kernel itself
+      0.17 ms/step vs the one-hot matmul's 0.47 ms + 0.41 ms layout copy
+      per cache tensor; fastest measured end-to-end (894.7 ms +CTC loop).
+    - 'onehot': MXU one-hot matmul; the choice off-TPU.
+    - 'fused' / 'fused_onehot': no standalone permute — beam.py hands the
       permutation to decoder_cached, which gathers each layer's cache rows
-      inside the scan step right before the cache update. The permute rides
-      the cache pass the decoder step already makes, halving cache HBM
-      traffic vs a standalone kernel and eliminating the XLA layout-
-      conversion copies that both standalone variants force around the
-      scan carry (measured v5e beam-5 batch-8 large-v3-turbo: the copies
-      alone were ~1.3 ms/step).
-    - 'pallas': standalone block-DMA kernel (kernel itself 0.17 ms/step vs
-      the one-hot matmul's 0.47 ms + 0.41 ms layout copy per cache tensor).
-    - 'onehot': MXU one-hot matmul; the only choice off-TPU.
+      inside the scan step right before the cache update. Hoped to remove
+      the ~1.3 ms/step of XLA layout-conversion copies around the scan
+      carry; measured SLOWER (991.8 ms) because XLA re-materializes the
+      carry instead.
+    - 'ancestry': append-only cache + ancestry-mask attention
+      (models/whisper.py::decoder_cached_ancestry) — no permute ever.
     """
     global _IMPL
     assert impl in ("onehot", "pallas", "fused", "fused_onehot",
