@@ -43,7 +43,23 @@ def main():
     ap.add_argument("--beams", type=int, default=5)
     ap.add_argument("--max-new", type=int, default=128)
     ap.add_argument("--model", default="large-v3-turbo")
+    ap.add_argument("--reorder", default=None,
+                    help="beam KV reorder strategy (ops/reorder.py)")
+    ap.add_argument("--topk", default=None,
+                    help="beam candidate top-k impl (ops/topk.py)")
+    ap.add_argument("--kv-layout", default=None,
+                    help="KV cache layout (models/whisper.py)")
     args = ap.parse_args()
+
+    if args.reorder:
+        from ts_asr_whisper_tpu.ops.reorder import set_reorder_impl
+        set_reorder_impl(args.reorder)
+    if args.topk:
+        from ts_asr_whisper_tpu.ops.topk import set_topk_impl
+        set_topk_impl(args.topk)
+    if args.kv_layout:
+        from ts_asr_whisper_tpu.models.whisper import set_kv_cache_layout
+        set_kv_cache_layout(args.kv_layout)
 
     from ts_asr_whisper_tpu.decoding.generation_config import GenerationConfig
     from ts_asr_whisper_tpu.decoding.greedy import greedy_decode
