@@ -105,7 +105,7 @@ def test_beam_tbhd_layout_matches_default(setup):
 
 
 @pytest.mark.parametrize("impl", ["onehot", "fused", "fused_onehot",
-                                  "ancestry"])
+                                  "ancestry", "ancestry_pallas"])
 def test_beam_reorder_impls_equivalent(setup, impl):
     """Every KV-cache reorder strategy (ops/reorder.py) must produce
     identical beam tokens/scores: 'fused'/'fused_onehot' apply the beam

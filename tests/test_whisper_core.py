@@ -125,10 +125,13 @@ def test_roundtrip_export(hf_model, cfg, params):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_decoder_cached_ancestry_matches_permuted_cache():
+@pytest.mark.parametrize("attn_impl", ["xla", "pallas"])
+def test_decoder_cached_ancestry_matches_permuted_cache(attn_impl):
     """decoder_cached_ancestry must equal a decoder_cached step on an
     explicitly permuted cache, for a nontrivial ancestry: rows within each
-    beam group pick mixed ancestors across positions."""
+    beam group pick mixed ancestors across positions. The 'pallas' impl
+    (ops/beam_attention.py fused kernel; interpret mode off-TPU) must
+    match the XLA formulation."""
     import jax
     import jax.numpy as jnp
 
@@ -164,7 +167,8 @@ def test_decoder_cached_ancestry_matches_permuted_cache():
     hist = hist.at[:, pos].set(own)
 
     h_anc, cache_anc = w.decoder_cached_ancestry(
-        dec, cfg, ids, jnp.asarray(pos), filled, cross, hist, n)
+        dec, cfg, ids, jnp.asarray(pos), filled, cross, hist, n,
+        attn_impl=attn_impl)
 
     # reference: materialize each row's history by gathering its ancestors
     group_base = (jnp.arange(bb) // n) * n

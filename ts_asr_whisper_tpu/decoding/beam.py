@@ -203,8 +203,9 @@ def beam_search(
         flat_beam_idx = (jnp.arange(b)[:, None] * n + chosen_beam).reshape(bb)
         impl = get_reorder_impl()
         fused_reorder = impl.startswith("fused")
+        ancestry = impl.startswith("ancestry")
         hist = c.hist
-        if impl == "ancestry":
+        if ancestry:
             # append-only cache: no permute at all — the ancestry map
             # inherits the chosen ancestor's history and claims this
             # step's slot for the row itself
@@ -229,10 +230,11 @@ def beam_search(
                 ctc_state_new, chosen_tok.reshape(bb), flat_beam_idx)
 
         # next decoder step
-        if impl == "ancestry":
+        if ancestry:
             hidden, cache = decoder_cached_ancestry(
                 dec, cfg, chosen_tok.reshape(bb, 1), c.cur_len, cache,
-                cross_kv, hist, n)
+                cross_kv, hist, n,
+                attn_impl="pallas" if impl == "ancestry_pallas" else "xla")
         else:
             hidden, cache = decoder_cached(
                 dec, cfg, chosen_tok.reshape(bb, 1), c.cur_len, cache,

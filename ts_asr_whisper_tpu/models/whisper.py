@@ -523,6 +523,7 @@ def decoder_cached_ancestry(
     hist: jax.Array,               # (Bb, T) group-local ancestor row per
     #                                cache position (int32 in [0, n))
     n: int,                        # beams per audio row
+    attn_impl: str = "xla",        # 'xla' | 'pallas' (ops/beam_attention.py)
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Single-token decoder step for beam search with an APPEND-ONLY cache.
 
@@ -546,6 +547,13 @@ def decoder_cached_ancestry(
     fp32 (like decoder_cached's t-major paths), independent of the
     encoder-side set_attention_impl knob. Requires the default 'bhtd'
     cache layout.
+
+    ``attn_impl='pallas'`` fuses the masked attention read into one Pallas
+    kernel per layer (ops/beam_attention.py): with it, NO XLA op in the
+    step expresses a layout preference on the cache (the append is a
+    layout-agnostic dynamic_update_slice), so the scan-carry
+    layout-conversion copies and the full-tensor append rewrite both
+    disappear from the trace. Runs in interpret mode off-TPU.
     """
     assert get_kv_cache_layout() == "bhtd", (
         "ancestry reorder requires the 'bhtd' KV-cache layout, got "
@@ -558,16 +566,22 @@ def decoder_cached_ancestry(
     tok = params["embed_tokens"][input_ids].astype(dtype)
     x = tok + params["embed_positions"][pos_offset][None, None].astype(dtype)
 
+    use_pallas = attn_impl == "pallas"
     key_pos = jnp.arange(max_len)
-    pos_ok = key_pos <= pos_offset                   # (T,)
-    # group-local ancestry one-hot (the permutation is block-diagonal — a
-    # row only ever selects within its own beam group, so the c axis is n,
-    # not Bb): sel[b, o, c, t] = 1 iff group row c holds hypothesis
-    # (b, o)'s K/V at position t (and t is visible)
-    sel = (hist.reshape(b, n, 1, max_len) ==
-           jnp.arange(n)[None, None, :, None]) & pos_ok[None, None, None]
-    sel_f = sel.astype(jnp.float32)
-    any_sel = sel.any(axis=2).reshape(bb, max_len)   # (Bb, T)
+    if use_pallas:
+        from ..ops.beam_attention import ancestry_attention
+        interp = jax.default_backend() != "tpu"
+        sel_f = any_sel = None
+    else:
+        pos_ok = key_pos <= pos_offset               # (T,)
+        # group-local ancestry one-hot (the permutation is block-diagonal —
+        # a row only ever selects within its own beam group, so the c axis
+        # is n, not Bb): sel[b, o, c, t] = 1 iff group row c holds
+        # hypothesis (b, o)'s K/V at position t (and t is visible)
+        sel = (hist.reshape(b, n, 1, max_len) ==
+               jnp.arange(n)[None, None, :, None]) & pos_ok[None, None, None]
+        sel_f = sel.astype(jnp.float32)
+        any_sel = sel.any(axis=2).reshape(bb, max_len)   # (Bb, T)
 
     def step(h, xs):
         lp, cross, cache_k, cache_v = xs
@@ -584,33 +598,40 @@ def decoder_cached_ancestry(
         # output — a clean last write XLA can do in place (the v1 order,
         # update-then-attend, degraded the append to a full-tensor rewrite
         # worth ~1.5 ms/step at beam-5 batch-8 large-v3-turbo).
-        # Einsums are group-local (leading-dim splits are free row-major
-        # reshapes); the ancestry select is exact (one nonzero c per
-        # (b, o, t)).
-        qg = q.reshape(b, n, num_heads, head_dim)
-        kg = cache_k.reshape(b, n, num_heads, max_len, head_dim)
-        vg = cache_v.reshape(b, n, num_heads, max_len, head_dim)
-        scores_all = jnp.einsum("bohd,bchtd->bohct", qg, kg,
-                                preferred_element_type=jnp.float32)
-        scores = jnp.einsum("bohct,boct->boht", scores_all, sel_f) \
-            .reshape(bb, num_heads, 1, max_len)
-        score_self = jnp.einsum("bhqd,bhqd->bhq", q, k_new,
-                                preferred_element_type=jnp.float32)
-        is_pos = (key_pos == pos_offset)[None, None, None]    # (1,1,1,T)
-        scores = jnp.where(is_pos, score_self[..., None], scores)
-        # any_sel is true at t == pos_offset (the caller claims the slot),
-        # so it is the complete visibility mask
-        scores = jnp.where(any_sel[:, None, None], scores,
-                           jnp.finfo(jnp.float32).min)
-        probs = jax.nn.softmax(scores, axis=-1)
-        p_hist = jnp.where(is_pos, 0.0, probs)
-        p_self = (probs - p_hist).sum(axis=-1)                # (Bb,H,1)
-        wp = jnp.einsum("boht,boct->bohct",
-                        p_hist.reshape(b, n, num_heads, max_len),
-                        sel_f).astype(dtype)
-        attn = jnp.einsum("bohct,bchtd->bohd", wp, vg) \
-            .reshape(bb, num_heads, 1, head_dim) \
-            + p_self[..., None].astype(dtype) * v_new
+        if use_pallas:
+            # one fused kernel: masked read + self splice + softmax + PV
+            # (ops/beam_attention.py); the cache never meets an XLA op
+            # with a layout preference
+            attn = ancestry_attention(q, k_new, v_new, cache_k, cache_v,
+                                      hist, pos_offset, n, interpret=interp)
+        else:
+            # Einsums are group-local (leading-dim splits are free
+            # row-major reshapes); the ancestry select is exact (one
+            # nonzero c per (b, o, t)).
+            qg = q.reshape(b, n, num_heads, head_dim)
+            kg = cache_k.reshape(b, n, num_heads, max_len, head_dim)
+            vg = cache_v.reshape(b, n, num_heads, max_len, head_dim)
+            scores_all = jnp.einsum("bohd,bchtd->bohct", qg, kg,
+                                    preferred_element_type=jnp.float32)
+            scores = jnp.einsum("bohct,boct->boht", scores_all, sel_f) \
+                .reshape(bb, num_heads, 1, max_len)
+            score_self = jnp.einsum("bhqd,bhqd->bhq", q, k_new,
+                                    preferred_element_type=jnp.float32)
+            is_pos = (key_pos == pos_offset)[None, None, None]  # (1,1,1,T)
+            scores = jnp.where(is_pos, score_self[..., None], scores)
+            # any_sel is true at t == pos_offset (the caller claims the
+            # slot), so it is the complete visibility mask
+            scores = jnp.where(any_sel[:, None, None], scores,
+                               jnp.finfo(jnp.float32).min)
+            probs = jax.nn.softmax(scores, axis=-1)
+            p_hist = jnp.where(is_pos, 0.0, probs)
+            p_self = (probs - p_hist).sum(axis=-1)            # (Bb,H,1)
+            wp = jnp.einsum("boht,boct->bohct",
+                            p_hist.reshape(b, n, num_heads, max_len),
+                            sel_f).astype(dtype)
+            attn = jnp.einsum("bohct,bchtd->bohd", wp, vg) \
+                .reshape(bb, num_heads, 1, head_dim) \
+                + p_self[..., None].astype(dtype) * v_new
         h = res + linear(lp["self_attn"]["out_proj"], _merge_heads(attn), dtype)
         # append last: the updated buffers' only consumer is the carry out
         cache_k = jax.lax.dynamic_update_slice(

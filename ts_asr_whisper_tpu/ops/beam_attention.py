@@ -1,0 +1,122 @@
+"""Fused Pallas kernel for beam-search decoder self-attention over an
+APPEND-ONLY KV cache with ancestry-mask row selection.
+
+Why this kernel exists (the 'ancestry' strategy end-state promised in
+docs/PERFORMANCE.md "Beam-step roofline"): every pure-XLA formulation of
+the beam KV-cache permutation pays ~1.3-1.6 ms/step of layout handling at
+large-v3-turbo beam-5 batch-8 — a standalone permute forces
+layout-conversion copies around the decoder scan's carry, an in-scan
+gather re-materializes the carry, and the v2 ancestry formulation
+(models/whisper.py::decoder_cached_ancestry, XLA path) degrades the cache
+append into a full-tensor rewrite. Moving the ancestry-masked attention
+read into a Pallas kernel removes every XLA op that expresses a layout
+preference on the cache: the only remaining cache consumers in the step
+are this kernel (default layout) and the trailing
+``lax.dynamic_update_slice`` append (layout-agnostic), so XLA keeps one
+layout end-to-end — no copies, no permute, and the append stays an
+in-place slab write.
+
+Semantics (exactly decoder_cached_ancestry's XLA path): hypothesis row b
+of a beam group attends, at cache position t < pos, to the K/V written by
+group row ``hist[b, t]`` (its ancestor at that step); at t == pos to this
+step's fresh k_new/v_new (the cache slot is written AFTER attention); and
+nowhere at t > pos. Each group's n query rows all need the same n cache
+rows, so the kernel loads the group block once — HBM traffic equals one
+full cache read (the same as non-beam attention), and the n-fold extra
+MXU work is noise at decode shapes.
+
+Reference behavior being accelerated: HF beam search's
+``_reorder_cache``/beam_idx gather as driven by
+/root/reference/src/models/dicow/generation.py:1087-1088.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _kernel(pos_ref, hist_ref, q_ref, kn_ref, vn_ref, ck_ref, cv_ref, o_ref,
+            *, n: int):
+    """One (beam group, head): ancestry-masked attention in VMEM.
+
+    Block shapes: hist (1, n, T) int32; q/k_new/v_new/out (n, 1, 1, hd);
+    cache_k/cache_v (n, 1, T, hd). ``pos_ref`` is the scalar-prefetch
+    current position (tokens already in the cache).
+    """
+    pos = pos_ref[0]
+    q = q_ref[:, 0, 0]                     # (n, hd)
+    k_new = kn_ref[:, 0, 0]
+    v_new = vn_ref[:, 0, 0]
+    hist = hist_ref[0]                     # (n, T)
+    t = hist.shape[-1]
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (n, t), 1)
+    visible = t_idx < pos                  # history positions only
+    neg = jnp.finfo(jnp.float32).min
+    scores = jnp.full((n, t), neg, jnp.float32)
+    # exactly one c matches per (row, t<pos): a select-accumulate over the
+    # group's n cache rows IS the ancestry permutation, with zero data
+    # movement beyond the one block load
+    for c in range(n):
+        k_c = ck_ref[c, 0]                 # (T, hd)
+        s_c = jax.lax.dot_general(
+            q, k_c, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (n, T)
+        scores = jnp.where((hist == c) & visible, s_c, scores)
+    # the new token's self term, spliced at t == pos (the cache there is
+    # stale: the append happens after attention)
+    s_self = jnp.sum(q.astype(jnp.float32) * k_new.astype(jnp.float32),
+                     axis=-1)              # (n,)
+    at_pos = t_idx == pos
+    scores = jnp.where(at_pos, s_self[:, None], scores)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)     # (n, T) fp32
+    acc = jnp.zeros((n, q.shape[-1]), jnp.float32)
+    for c in range(n):
+        v_c = cv_ref[c, 0]                 # (T, hd)
+        w_c = jnp.where((hist == c) & visible, probs, 0.0).astype(v_c.dtype)
+        acc = acc + jax.lax.dot_general(
+            w_c, v_c, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    p_self = jnp.sum(jnp.where(at_pos, probs, 0.0), axis=-1)   # (n,)
+    acc = acc + p_self[:, None] * v_new.astype(jnp.float32)
+    o_ref[:, 0, 0] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def ancestry_attention(q, k_new, v_new, cache_k, cache_v, hist, pos,
+                       n: int, interpret: bool = False):
+    """Fused beam-decode self-attention over an append-only cache.
+
+    q/k_new/v_new: (Bb, H, 1, hd) this step's projections (q pre-scaled);
+    cache_k/cache_v: (Bb, H, T, hd) PRE-update cache ('bhtd' layout);
+    hist: (Bb, T) int32 group-local ancestor row per position;
+    pos: scalar int32 tokens already in the cache; n: beams per group.
+    Returns attention output (Bb, H, 1, hd) in q's dtype.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bb, h, _, hd = q.shape
+    t = cache_k.shape[2]
+    b = bb // n
+    hist3 = hist.reshape(b, n, t)
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    new_spec = pl.BlockSpec((n, 1, 1, hd), lambda g, hh, p: (g, hh, 0, 0))
+    cache_spec = pl.BlockSpec((n, 1, t, hd), lambda g, hh, p: (g, hh, 0, 0))
+    hist_spec = pl.BlockSpec((1, n, t), lambda g, hh, p: (g, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_kernel, n=n),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h),
+            in_specs=[hist_spec, new_spec, new_spec, new_spec,
+                      cache_spec, cache_spec],
+            out_specs=new_spec,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bb, h, 1, hd), q.dtype),
+        interpret=interpret,
+    )(pos_arr, hist3, q, k_new, v_new, cache_k, cache_v)

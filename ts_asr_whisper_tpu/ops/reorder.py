@@ -133,10 +133,13 @@ def set_reorder_impl(impl: str) -> None:
       carry instead.
     - 'ancestry': append-only cache + ancestry-mask attention
       (models/whisper.py::decoder_cached_ancestry) — no permute ever.
+    - 'ancestry_pallas': 'ancestry' with the masked attention read fused
+      into one Pallas kernel per layer (ops/beam_attention.py) — removes
+      the scan-carry layout copies AND the append rewrite.
     """
     global _IMPL
     assert impl in ("onehot", "pallas", "fused", "fused_onehot",
-                    "ancestry"), impl
+                    "ancestry", "ancestry_pallas"), impl
     _IMPL = impl
 
 
