@@ -1,8 +1,8 @@
 """Multi-talker WER engines: tcpWER, cpWER, ORC-WER, chunked tcORC-WER.
 
 Clean-room implementations of the metrics the reference obtains through
-meeteval (/root/reference/src/utils/wer.py:30-185, wer_utils.py:18-182),
-backed by the native C++ time-constrained Levenshtein (eval/native.py):
+meeteval (/root/reference/src/utils/wer.py:30-185), backed by the native
+C++ time-constrained Levenshtein (eval/native.py):
 
 - tcpWER: per-speaker word streams with character-proportional pseudo word
   timings (hypothesis words as interval centers, i.e. points), +-collar on
@@ -13,14 +13,16 @@ backed by the native C++ time-constrained Levenshtein (eval/native.py):
   via the exact polynomial segmental DP (eval/orc.py) — meeteval-equivalent
   at any session size; the chunked tcORC variant additionally applies the
   +-collar time constraint per ~5 s VAD-split group, mirroring the
-  reference's meeteval.wer.tcorcwer(..., collar) calls (wer.py:41-86,
-  wer_utils.py:95-164);
-- aggregation across sessions identical to aggregate_wer_metrics.
+  reference's meeteval.wer.tcorcwer(..., collar) calls (wer.py:41-86).
+
+Shared utilities (pseudo timings, VAD chunking, stream merge, aggregation)
+live in eval/wer_utils.py, mirroring the reference's own wer.py/wer_utils.py
+seam; they are re-exported here for backward compatibility.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 from scipy.optimize import linear_sum_assignment
@@ -31,60 +33,16 @@ from .native import (
     time_constrained_levenshtein,
 )
 from .seglst import SegLST, create_dummy_seglst, filter_empty_segments
-
-# ---------------------------------------------------------------------------
-# word streams with pseudo timings
-# ---------------------------------------------------------------------------
-
-
-class _Vocab:
-    def __init__(self):
-        self.map: Dict[str, int] = {}
-
-    def __getitem__(self, w: str) -> int:
-        if w not in self.map:
-            self.map[w] = len(self.map)
-        return self.map[w]
-
-
-def _segment_word_times(seg, style: str):
-    """Character-proportional pseudo word timings within the segment
-    (meeteval 'character_based'); 'points' collapses each word interval to
-    its center (meeteval 'character_based_points', the tcpWER hyp default)."""
-    words = str(seg["words"]).split()
-    if not words:
-        return []
-    start, end = float(seg["start_time"]), float(seg["end_time"])
-    dur = max(end - start, 0.0)
-    lens = np.array([max(len(w), 1) for w in words], dtype=np.float64)
-    bounds = np.concatenate([[0.0], np.cumsum(lens)]) / lens.sum()
-    out = []
-    for i, w in enumerate(words):
-        wb = start + bounds[i] * dur
-        we = start + bounds[i + 1] * dur
-        if style == "points":
-            c = 0.5 * (wb + we)
-            out.append((w, c, c))
-        else:
-            out.append((w, wb, we))
-    return out
-
-
-def _speaker_streams(seglst: SegLST, vocab: _Vocab, style: str):
-    """{speaker: (ids int32, begin f64, end f64)}, segments in start order."""
-    out = {}
-    for spk, segs in seglst.groupby("speaker").items():
-        words, begins, ends = [], [], []
-        for seg in segs.sorted("start_time"):
-            for w, wb, we in _segment_word_times(seg, style):
-                words.append(vocab[w])
-                begins.append(wb)
-                ends.append(we)
-        out[spk] = (np.asarray(words, np.int32),
-                    np.asarray(begins, np.float64),
-                    np.asarray(ends, np.float64))
-    return out
-
+from .wer_utils import (  # noqa: F401  (re-exported for API compatibility)
+    _Vocab,
+    _map_to_split,
+    _segment_word_times,
+    _speaker_streams,
+    aggregate_wer_metrics,
+    create_vad_mask,
+    find_group_splits,
+    merge_streams,
+)
 
 # ---------------------------------------------------------------------------
 # permutation-based metrics (cpWER / tcpWER)
@@ -206,64 +164,6 @@ def _orc_group(ref_utts: List[np.ndarray], hyp_streams: List[np.ndarray],
     return {"errors": errors, "length": length, "insertions": ins,
             "deletions": dele, "substitutions": sub,
             "assignment": tuple(assign)}
-
-
-def create_vad_mask(segments, time_step=0.1, total_duration=None) -> np.ndarray:
-    if total_duration is None:
-        total_duration = max(float(s["end_time"]) for s in segments)
-    mask = np.zeros(int(float(total_duration) / time_step) + 1, dtype=bool)
-    for s in segments:
-        mask[int(float(s["start_time"]) / time_step):
-             int(float(s["end_time"]) / time_step)] = 1
-    return mask
-
-
-def find_group_splits(vad, group_duration=30, time_step=0.1) -> List[int]:
-    non_active = np.argwhere(~vad).squeeze(axis=-1)
-    splits = []
-    shift = group_duration / time_step
-    next_offset = shift
-    for i in non_active:
-        if i >= next_offset:
-            splits.append(int(i))
-            next_offset = i + shift
-    return splits
-
-
-def _map_to_split(t: float, splits: Sequence[float]) -> int:
-    for i, s in enumerate(splits):
-        if t < s:
-            return i
-    return len(splits)
-
-
-def merge_streams(hyp: SegLST) -> SegLST:
-    """Merge non-overlapping speaker streams (wer_utils.py:63-92) to bound
-    the ORC stream count."""
-    groups = hyp.groupby("speaker")
-    masks = {spk: create_vad_mask(segs.segments, time_step=0.01)
-             for spk, segs in groups.items()}
-    if masks:
-        longest = max(len(m) for m in masks.values())
-        masks = {k: np.pad(m, (0, longest - len(m))) for k, m in masks.items()}
-    while True:
-        found = None
-        keys = list(groups)
-        for a in keys:
-            for b in keys:
-                if a != b and not (masks[a] & masks[b]).any():
-                    found = (a, b)
-                    break
-            if found:
-                break
-        if not found:
-            break
-        a, b = found
-        moved = groups[b].map(lambda s: {**s, "speaker": a})
-        groups[a] = groups[a] + moved
-        masks[a] = masks[a] | masks[b]
-        del groups[b], masks[b]
-    return SegLST([s for g in groups.values() for s in g]).sorted("start_time")
 
 
 def _seglst_orc(ref: SegLST, hyp: SegLST,
@@ -429,7 +329,7 @@ def calc_session_orc_wer(ref: SegLST, hyp: SegLST,
 
 
 # ---------------------------------------------------------------------------
-# session driver + aggregation (reference wer.py:109-185, wer_utils.py:167-182)
+# session driver (reference wer.py:109-185)
 # ---------------------------------------------------------------------------
 
 
@@ -464,28 +364,3 @@ def calc_wer(out_dir, tcp_wer_hyp_json, tcorc_wer_hyp_json, ref_file,
         except Exception:
             pass
     return [row]
-
-
-def aggregate_wer_metrics(rows: List[dict],
-                          metrics_list: List[str]) -> Dict[str, float]:
-    """Sum numeric fields across sessions, recompute rates
-    (wer_utils.py:167-182)."""
-    metrics: Dict[str, float] = {}
-    numeric_keys = set()
-    for row in rows:
-        for k, v in row.items():
-            if isinstance(v, (int, float, np.integer, np.floating)):
-                numeric_keys.add(k)
-    for k in numeric_keys:
-        metrics[k] = float(sum(row.get(k, 0) for row in rows))
-    for metric in metrics_list:
-        prefix = metric.split("_", maxsplit=1)[0]
-        if f"{prefix}_errors" in metrics and f"{prefix}_length" in metrics:
-            denom = max(metrics[f"{prefix}_length"], 1.0)
-            metrics[f"{prefix}_wer"] = metrics[f"{prefix}_errors"] / denom
-        for k in ("missed_speaker", "falarm_speaker", "scored_speaker"):
-            key = f"{prefix}_{k}"
-            if key in metrics:
-                metrics[f"{prefix}_mean_{k}"] = metrics[key] / max(len(rows), 1)
-                del metrics[key]
-    return metrics
