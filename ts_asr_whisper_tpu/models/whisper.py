@@ -567,12 +567,12 @@ def decoder_cached_ancestry(
     x = tok + params["embed_positions"][pos_offset][None, None].astype(dtype)
 
     use_pallas = attn_impl == "pallas"
-    key_pos = jnp.arange(max_len)
     if use_pallas:
         from ..ops.beam_attention import ancestry_attention
         interp = jax.default_backend() != "tpu"
-        sel_f = any_sel = None
+        sel_f = any_sel = key_pos = None
     else:
+        key_pos = jnp.arange(max_len)
         pos_ok = key_pos <= pos_offset               # (T,)
         # group-local ancestry one-hot (the permutation is block-diagonal —
         # a row only ever selects within its own beam group, so the c axis

@@ -16,6 +16,17 @@ are this kernel (default layout) and the trailing
 layout end-to-end — no copies, no permute, and the append stays an
 in-place slab write.
 
+Mosaic layout note (v5e-validated): a first cut blocked the new-token
+tensors as (n, 1, 1, hd) and stored via ``o_ref[:, 0, 0] = acc``; Mosaic
+rejects the implied interior-singleton shape cast
+(``vector<5x64> -> vector<5x1x1x64>``, "infer-vector-layout: unsupported
+shape cast"). The rule this module now follows everywhere: every 2-D
+working view inside the kernel is obtained by indexing LEADING block dims
+only, so each block's trailing two dims ARE the 2-D tile Mosaic lays out
+— (n, hd) for q/k_new/v_new/out (host-side transpose to (B, H, n, hd)),
+(t, hd) for the cache (free leading-dim split to (B, n, H, T, hd)), and
+(n, t) for hist. All reductions keep dims to avoid 1-D vectors.
+
 Semantics (exactly decoder_cached_ancestry's XLA path): hypothesis row b
 of a beam group attends, at cache position t < pos, to the K/V written by
 group row ``hist[b, t]`` (its ancestor at that step); at t == pos to this
@@ -42,14 +53,15 @@ def _kernel(pos_ref, hist_ref, q_ref, kn_ref, vn_ref, ck_ref, cv_ref, o_ref,
             *, n: int):
     """One (beam group, head): ancestry-masked attention in VMEM.
 
-    Block shapes: hist (1, n, T) int32; q/k_new/v_new/out (n, 1, 1, hd);
-    cache_k/cache_v (n, 1, T, hd). ``pos_ref`` is the scalar-prefetch
-    current position (tokens already in the cache).
+    Block shapes: hist (1, n, T) int32; q/k_new/v_new/out (1, 1, n, hd);
+    cache_k/cache_v (1, n, 1, T, hd). ``pos_ref`` is the scalar-prefetch
+    current position (tokens already in the cache). All views below index
+    leading dims only, keeping Mosaic's tiled trailing-2D layout intact.
     """
     pos = pos_ref[0]
-    q = q_ref[:, 0, 0]                     # (n, hd)
-    k_new = kn_ref[:, 0, 0]
-    v_new = vn_ref[:, 0, 0]
+    q = q_ref[0, 0]                        # (n, hd)
+    k_new = kn_ref[0, 0]
+    v_new = vn_ref[0, 0]
     hist = hist_ref[0]                     # (n, T)
     t = hist.shape[-1]
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (n, t), 1)
@@ -60,7 +72,7 @@ def _kernel(pos_ref, hist_ref, q_ref, kn_ref, vn_ref, ck_ref, cv_ref, o_ref,
     # group's n cache rows IS the ancestry permutation, with zero data
     # movement beyond the one block load
     for c in range(n):
-        k_c = ck_ref[c, 0]                 # (T, hd)
+        k_c = ck_ref[0, c, 0]              # (T, hd)
         s_c = jax.lax.dot_general(
             q, k_c, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)        # (n, T)
@@ -68,22 +80,23 @@ def _kernel(pos_ref, hist_ref, q_ref, kn_ref, vn_ref, ck_ref, cv_ref, o_ref,
     # the new token's self term, spliced at t == pos (the cache there is
     # stale: the append happens after attention)
     s_self = jnp.sum(q.astype(jnp.float32) * k_new.astype(jnp.float32),
-                     axis=-1)              # (n,)
+                     axis=-1, keepdims=True)           # (n, 1)
     at_pos = t_idx == pos
-    scores = jnp.where(at_pos, s_self[:, None], scores)
+    scores = jnp.where(at_pos, s_self, scores)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     probs = e / jnp.sum(e, axis=-1, keepdims=True)     # (n, T) fp32
     acc = jnp.zeros((n, q.shape[-1]), jnp.float32)
     for c in range(n):
-        v_c = cv_ref[c, 0]                 # (T, hd)
+        v_c = cv_ref[0, c, 0]              # (T, hd)
         w_c = jnp.where((hist == c) & visible, probs, 0.0).astype(v_c.dtype)
         acc = acc + jax.lax.dot_general(
             w_c, v_c, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-    p_self = jnp.sum(jnp.where(at_pos, probs, 0.0), axis=-1)   # (n,)
-    acc = acc + p_self[:, None] * v_new.astype(jnp.float32)
-    o_ref[:, 0, 0] = acc.astype(o_ref.dtype)
+    p_self = jnp.sum(jnp.where(at_pos, probs, 0.0),
+                     axis=-1, keepdims=True)           # (n, 1)
+    acc = acc + p_self * v_new.astype(jnp.float32)
+    o_ref[0, 0] = acc.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "interpret"))
@@ -102,13 +115,25 @@ def ancestry_attention(q, k_new, v_new, cache_k, cache_v, hist, pos,
 
     bb, h, _, hd = q.shape
     t = cache_k.shape[2]
+    assert bb % n == 0, f"beam batch {bb} not divisible by beams {n}"
+    assert hist.shape == (bb, t), (
+        f"hist shape {hist.shape} != (Bb, T) = {(bb, t)}")
     b = bb // n
+    # host-side relayout: tiny new-token tensors go beams-trailing
+    # (B, H, n, hd) so the kernel's 2-D views are leading-dim indexes; the
+    # cache split (B, n, H, T, hd) is a free row-major reshape (no copy)
+    q4, kn4, vn4 = (
+        x.reshape(b, n, h, hd).transpose(0, 2, 1, 3)
+        for x in (q, k_new, v_new))
+    ck5 = cache_k.reshape(b, n, h, t, hd)
+    cv5 = cache_v.reshape(b, n, h, t, hd)
     hist3 = hist.reshape(b, n, t)
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
-    new_spec = pl.BlockSpec((n, 1, 1, hd), lambda g, hh, p: (g, hh, 0, 0))
-    cache_spec = pl.BlockSpec((n, 1, t, hd), lambda g, hh, p: (g, hh, 0, 0))
+    new_spec = pl.BlockSpec((1, 1, n, hd), lambda g, hh, p: (g, hh, 0, 0))
+    cache_spec = pl.BlockSpec((1, n, 1, t, hd),
+                              lambda g, hh, p: (g, 0, hh, 0, 0))
     hist_spec = pl.BlockSpec((1, n, t), lambda g, hh, p: (g, 0, 0))
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_kernel, n=n),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -117,6 +142,7 @@ def ancestry_attention(q, k_new, v_new, cache_k, cache_v, hist, pos,
                       cache_spec, cache_spec],
             out_specs=new_spec,
         ),
-        out_shape=jax.ShapeDtypeStruct((bb, h, 1, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, n, hd), q.dtype),
         interpret=interpret,
-    )(pos_arr, hist3, q, k_new, v_new, cache_k, cache_v)
+    )(pos_arr, hist3, q4, kn4, vn4, ck5, cv5)
+    return out.transpose(0, 2, 1, 3).reshape(bb, h, 1, hd)
