@@ -16,8 +16,14 @@ north-star headline):
 
 Plus one line per remaining README throughput claim (every README number
 maps 1:1 onto an emitted metric): the beam device-window rate, the
-encoder-only RTFx, the single-worker dataloader rate, and the native
-tcpWER session-scoring latency.
+encoder-only RTFx, the dataloader worker sweep (w1/w4/w8 +
+headroom-vs-8-chip-demand + detected host cores), and the native tcpWER
+session-scoring latency.
+
+Every timed metric is the MEDIAN of >=3 repeat measurements on the
+compiled program and carries a ``spread`` field (max-min across repeats),
+so run-to-run drift is distinguishable from regression in the recorded
+JSON itself.
 
 ``vs_baseline`` for decode = value / 50 (the >=50x real-time north star;
 the reference publishes no throughput numbers). For training there is no
@@ -33,9 +39,20 @@ import time
 import numpy as np
 
 
-def _emit(metric, value, unit, vs_baseline):
-    print(json.dumps({"metric": metric, "value": value, "unit": unit,
-                      "vs_baseline": vs_baseline}), flush=True)
+def _emit(metric, value, unit, vs_baseline, **extra):
+    rec = {"metric": metric, "value": value, "unit": unit,
+           "vs_baseline": vs_baseline}
+    rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def _median_spread(vals):
+    """(median, max-min) over repeat measurements — every emitted metric
+    carries both so regression vs run-to-run variance is answerable from
+    the JSON alone (a single-shot 503->476 greedy swing is invisible
+    without it)."""
+    vals = [float(v) for v in vals]
+    return float(np.median(vals)), float(max(vals) - min(vals))
 
 
 # TSAW_BENCH_MODEL overrides the benchmarked architecture (e.g. 'tiny' for
@@ -73,7 +90,8 @@ def _bench_longform(num_beams: int, ctc_weight: float, batch: int,
     # the int8 cross-KV cache, TSAW_BENCH_CTC_PBF16=1 the bf16 CTC
     # posterior for the psi matmul
     # exact-equivalent strategy knobs (see docs/PERFORMANCE.md matrix):
-    # TSAW_BENCH_REORDER (pallas|onehot|fused|fused_onehot|ancestry),
+    # TSAW_BENCH_REORDER
+    #   (pallas|onehot|fused|fused_onehot|ancestry|ancestry_pallas),
     # TSAW_BENCH_TOPK (lax|thresholded), TSAW_BENCH_KV_LAYOUT (bhtd|tbhd|thbd)
     if os.environ.get("TSAW_BENCH_REORDER"):
         from ts_asr_whisper_tpu.ops.reorder import set_reorder_impl
@@ -119,26 +137,29 @@ def _bench_longform(num_beams: int, ctc_weight: float, batch: int,
     run(feats)  # compile (encoder + decode loop + all bucket shapes)
     nominal_s = float(attn.sum()) / 100.0  # unique audio seconds per call
 
-    def measure(f_in, iters=2):
-        t0 = time.perf_counter()
-        windows = 0
-        for _ in range(iters):
-            out = run(f_in)
-            windows += out.windows_decoded
-        np.asarray(out.sequences)
-        elapsed = time.perf_counter() - t0
+    def measure(f_in, repeats=3):
+        # one timed call per repeat (the program is compiled, so repeats
+        # are cheap) -> per-repeat rates for median + spread.
         # conservative headline: unique audio transcribed per second.
         # Random-weight decodes trigger seek rollbacks (windows re-decoded
         # with partial advance) that sane checkpoints don't, so the device
         # actually decoded windows*30 s of input; that device-throughput
         # rate is returned separately.
-        return nominal_s * iters / elapsed, windows * 30.0 / elapsed
+        cons, dev = [], []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = run(f_in)
+            np.asarray(out.sequences)
+            elapsed = time.perf_counter() - t0
+            cons.append(nominal_s / elapsed)
+            dev.append(out.windows_decoded * 30.0 / elapsed)
+        return cons, dev
 
-    rtfx, rtfx_dev = measure(feats)
-    rtfx_upload, _ = measure(feats_host)
+    cons, dev = measure(feats)
+    cons_up, _ = measure(feats_host)
     del params
     gc.collect()
-    return rtfx, rtfx_upload, rtfx_dev
+    return cons, cons_up, dev
 
 
 def _bench_encoder(batch: int = 16):
@@ -170,37 +191,45 @@ def _bench_encoder(batch: int = 16):
     # into the program as constants (docs/PERFORMANCE.md timing pitfalls)
     fwd = jax.jit(lambda p, f, s: dicow_encoder_forward(p, cfg, f, s))
     jax.block_until_ready(fwd(params["encoder"], feats, stno))  # compile
-    iters = 6
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(params["encoder"], feats, stno)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - t0
+    rates = []
+    for _ in range(3):
+        iters = 2
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fwd(params["encoder"], feats, stno)
+        jax.block_until_ready(out)
+        rates.append(batch * 30.0 * iters / (time.perf_counter() - t0))
     del params
     gc.collect()
-    return batch * 30.0 * iters / elapsed
+    return rates
 
 
-def _bench_dataloader():
-    """Single-worker host featurization rate (WAV -> mel -> STNO ->
-    collate) via scripts/bench_dataloader.py; multi-worker scaling lives
-    there too (--sweep) but is core-bound, so the driver line is the
-    per-core rate."""
+def _bench_dataloader_sweep():
+    """Worker sweep (w1 thread, w4/w8 process) through the full host path
+    (WAV read -> mel -> STNO -> collate) via scripts/bench_dataloader.py
+    --sweep, so the driver itself records the pod-slice feeding evidence:
+    per-worker-count rates, the headroom-vs-8-chip-demand ratio, and the
+    detected core count. On a 1-core CI harness the w4/w8 lines measure
+    scheduler contention, not scaling — the emitted note says so; real
+    v5e hosts have >100 cores."""
     import subprocess
     import sys
 
     out = subprocess.run(
-        [sys.executable, "scripts/bench_dataloader.py", "--workers", "1",
+        [sys.executable, "scripts/bench_dataloader.py", "--sweep",
          "--n-cuts", "96"],
-        capture_output=True, text=True, timeout=600)
-    for line in reversed(out.stdout.strip().splitlines()):
+        capture_output=True, text=True, timeout=900)
+    recs = []
+    for line in out.stdout.strip().splitlines():
         try:
-            rec = json.loads(line)
-            return float(rec["value"])
-        except (ValueError, KeyError):
+            recs.append(json.loads(line))
+        except ValueError:
             continue
-    raise RuntimeError(f"bench_dataloader produced no metric: {out.stdout!r} "
-                       f"{out.stderr[-500:]!r}")
+    if not recs:
+        raise RuntimeError(
+            f"bench_dataloader produced no metric: {out.stdout!r} "
+            f"{out.stderr[-500:]!r}")
+    return recs
 
 
 def _bench_tcpwer_session(n_words: int = 2400, n_spk: int = 4):
@@ -227,11 +256,12 @@ def _bench_tcpwer_session(n_words: int = 2400, n_spk: int = 4):
 
     ref, hyp = session("A"), session("h")
     calc_session_tcp_wer(ref, hyp, collar=5)  # warm (loads the .so)
-    t0 = time.perf_counter()
-    iters = 3
-    for _ in range(iters):
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
         calc_session_tcp_wer(ref, hyp, collar=5)
-    return (time.perf_counter() - t0) / iters * 1000.0
+        times.append((time.perf_counter() - t0) * 1000.0)
+    return times
 
 
 def _bench_train_step(batch: int = 8):
@@ -295,13 +325,15 @@ def _bench_train_step(batch: int = 8):
 
     params, opt_state, _ = step_fn(params, opt_state, batch_data)  # compile
     _force(params)
-    t0 = time.perf_counter()
-    steps = 5
-    for _ in range(steps):
-        params, opt_state, parts = step_fn(params, opt_state, batch_data)
-    _force(params)
-    elapsed = time.perf_counter() - t0
-    return batch * steps / elapsed
+    rates = []
+    for _ in range(3):
+        steps = 2
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            params, opt_state, parts = step_fn(params, opt_state, batch_data)
+        _force(params)
+        rates.append(batch * steps / (time.perf_counter() - t0))
+    return rates
 
 
 def main():
@@ -312,43 +344,57 @@ def main():
     if jax.default_backend() == "tpu":
         set_attention_impl("pallas")  # flash kernel: +26% encoder throughput
 
+    def emit_ms(metric, vals, unit, baseline_div=50.0):
+        med, spread = _median_spread(vals)
+        _emit(metric, round(med, 2), unit,
+              round(med / baseline_div, 3) if baseline_div else None,
+              spread=round(spread, 2))
+
     # batch 16 = the reference's greedy eval envelope
     # (configs/decode/dicow_v3_greedy.yaml); measured sweet spot on v5e
-    rtfx, rtfx_up, rtfx_dev = _bench_longform(num_beams=1, ctc_weight=0.0,
-                                              batch=16, n_windows=3)
-    _emit("longform_greedy_rtfx_large-v3-turbo", round(rtfx, 2),
-          "x_realtime_per_chip", round(rtfx / 50.0, 3))
-    _emit("longform_greedy_device_window_rtfx_large-v3-turbo",
-          round(rtfx_dev, 2), "x_realtime_per_chip",
-          round(rtfx_dev / 50.0, 3))
-    _emit("longform_greedy_rtfx_incl_upload_large-v3-turbo",
-          round(rtfx_up, 2), "x_realtime_per_chip",
-          round(rtfx_up / 50.0, 3))
+    cons, cons_up, dev = _bench_longform(num_beams=1, ctc_weight=0.0,
+                                         batch=16, n_windows=3)
+    emit_ms("longform_greedy_rtfx_large-v3-turbo", cons,
+            "x_realtime_per_chip")
+    emit_ms("longform_greedy_device_window_rtfx_large-v3-turbo", dev,
+            "x_realtime_per_chip")
+    emit_ms("longform_greedy_rtfx_incl_upload_large-v3-turbo", cons_up,
+            "x_realtime_per_chip")
 
-    rtfx_beam, _, rtfx_beam_dev = _bench_longform(
+    beam_cons, _, beam_dev = _bench_longform(
         num_beams=5, ctc_weight=0.2, batch=8, n_windows=2,
         length_penalty=0.1)
-    _emit("longform_beam5_joint_ctc_rtfx_large-v3-turbo", round(rtfx_beam, 2),
-          "x_realtime_per_chip", round(rtfx_beam / 50.0, 3))
-    _emit("longform_beam5_joint_ctc_device_window_rtfx_large-v3-turbo",
-          round(rtfx_beam_dev, 2), "x_realtime_per_chip",
-          round(rtfx_beam_dev / 50.0, 3))
+    emit_ms("longform_beam5_joint_ctc_rtfx_large-v3-turbo", beam_cons,
+            "x_realtime_per_chip")
+    emit_ms("longform_beam5_joint_ctc_device_window_rtfx_large-v3-turbo",
+            beam_dev, "x_realtime_per_chip")
 
-    enc_rtfx = _bench_encoder(batch=16)
-    _emit("encoder_rtfx_large-v3-turbo", round(enc_rtfx, 2),
-          "x_realtime_per_chip", round(enc_rtfx / 50.0, 3))
+    emit_ms("encoder_rtfx_large-v3-turbo", _bench_encoder(batch=16),
+            "x_realtime_per_chip")
 
-    sps = _bench_train_step(batch=8)
-    _emit("train_step_samples_per_s_large-v3-turbo", round(sps, 2),
-          "samples_per_s_per_chip", None)
+    emit_ms("train_step_samples_per_s_large-v3-turbo",
+            _bench_train_step(batch=8), "samples_per_s_per_chip",
+            baseline_div=None)
 
-    loader_sps = _bench_dataloader()
-    _emit("dataloader_samples_per_s_w1", round(loader_sps, 2),
-          "samples_per_s_per_core", None)
+    # dataloader worker sweep: the scaling claim's evidence lives in the
+    # driver artifact, not README prose (w4/w8 on a 1-core harness measure
+    # contention — the note records the detected core count either way)
+    import os as _os
+    cores = len(_os.sched_getaffinity(0)) \
+        if hasattr(_os, "sched_getaffinity") else (_os.cpu_count() or 1)
+    _emit("host_cores_detected", cores, "cores", None)
+    for rec in _bench_dataloader_sweep():
+        workers = rec.get("workers")
+        note = None
+        if workers and workers > cores:
+            note = (f"{workers} workers on {cores} host core(s): measures "
+                    "contention, not scaling; real v5e hosts have >100 cores")
+        _emit(rec["metric"], rec["value"], rec.get("unit", "samples_per_s"),
+              None, **({"note": note} if note else {}),
+              **({"workers": workers} if workers else {}))
 
-    tcp_ms = _bench_tcpwer_session()
-    _emit("tcpwer_session_2400w_ms", round(tcp_ms, 2), "ms_per_session",
-          None)
+    emit_ms("tcpwer_session_2400w_ms", _bench_tcpwer_session(),
+            "ms_per_session", baseline_div=None)
 
 
 if __name__ == "__main__":
