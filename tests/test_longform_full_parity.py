@@ -1,9 +1,21 @@
 """Ultimate integration parity: our longform_generate vs the reference's
 full generate() (HF Whisper seek loop + DiCoW overrides) on a tiny model.
 
-If the installed transformers version can't drive the reference's
-generate() (it pins 4.55 internals), the test skips with the reason.
+Every configuration is pinned TWICE: against the live reference generate()
+when the installed transformers can drive it, AND against committed golden
+token fixtures (tests/fixtures/longform_parity_golden.json) captured from
+a drivable configuration — so parity survives installed-HF drift instead
+of silently skipping. When both are available the live output is asserted
+equal to the golden too, making HF/torch behavioral drift loud.
+
+Capture/refresh fixtures (requires a drivable transformers):
+
+    TSAW_CAPTURE_GOLDEN=1 python -m pytest tests/test_longform_full_parity.py
 """
+
+import json
+import os
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -37,13 +49,41 @@ BASE_KW = dict(
     pad_token_id=EOS, bos_token_id=EOS)
 
 
+# --- tiny-vocab shims for the reference's joint-CTC path -------------------
+# The reference hard-requires a non-empty upper_cased_tokens map:
+# decoding.py:183-186 builds torch.tensor(list(items())) and indexes
+# same_logits[:, 1] — an empty dict yields a 1-D empty tensor and an
+# IndexError (this, not HF drift, was the historical joint-CTC skip). An
+# identity pair keeps the tensor 2-D while the logit copy stays a no-op.
+_IDENTITY_FOLD = {35: 35}
+
+# decoding.py:309 top-ks k=ctc_tokens_to_score(=500) out of
+# first_timestamp_token_id(=TS_BEGIN) candidate columns; a tiny test vocab
+# has fewer. Pin the reference to the same k our rescorer derives
+# (min(500, timestamp_begin - 1), decoding/longform.py:460) — identical to
+# the real-vocab behavior where 500 < timestamp_begin.
+import models.dicow.generation as _ref_gen_mod  # noqa: E402
+from models.dicow.decoding import (  # noqa: E402
+    CTCRescorerLogitsProcessor as _RefCTCRescorer,
+)
+
+
+class _SmallVocabCTCRescorer(_RefCTCRescorer):
+    def __init__(self, *a, **kw):
+        kw.setdefault("ctc_tokens_to_score", min(500, TS_BEGIN - 1))
+        super().__init__(*a, **kw)
+
+
+_ref_gen_mod.CTCRescorerLogitsProcessor = _SmallVocabCTCRescorer
+
+
 class MockWhisperTok:
     """Round-trip tokenizer for the reference generate() path."""
 
     pad_token_id = EOS
     eos_token_id = EOS
     prefix_tokens = [SOT, LANG, TASK]
-    upper_cased_tokens = {}
+    upper_cased_tokens = dict(_IDENTITY_FOLD)
 
     def get_vocab(self):
         v = {"<|0.00|>": TS_BEGIN, "Ġ": 220, "#": 35}
@@ -131,6 +171,20 @@ def _ref_generate(ref, feats, stno, attn, num_beams=1, ctc_weight=0.0,
     # real pipeline, general.py:19-37)
     ref.generation_config = gc
     extra = {}
+    # HF >=4.57 asymmetry: _set_return_outputs only forces
+    # return_dict_in_generate=True (materializing per-segment scores) when
+    # logprob_threshold arrives as a CALL argument, while _need_fallback
+    # (generation_whisper.py:1268-1284) reads the config ATTRIBUTE — config
+    # -only thresholds crash on `seek_outputs[index]["scores"]`. Route the
+    # quality-threshold knobs through the call like the HF API intends.
+    for k in ("logprob_threshold", "no_speech_threshold",
+              "compression_ratio_threshold", "temperature"):
+        if k in gc_extra:
+            extra[k] = gc_extra[k]
+    if "logprob_threshold" in extra:
+        # _retrieve_avg_logprobs compares `temperature > 0.0`; the call-arg
+        # default None crashes it — pin the first-pass temperature
+        extra.setdefault("temperature", 0.0)
     if detect_lang:
         # no language / forced ids -> the HF seek driver calls the DiCoW
         # detect_language override (generation.py:151-221); the override's
@@ -156,6 +210,74 @@ def _ref_generate(ref, feats, stno, attn, num_beams=1, ctc_weight=0.0,
     return np.asarray(out)
 
 
+def _strip(row):
+    # reference output begins with prefix tokens from its tokenizer
+    # re-encode (our token-level fixup emits content only); compare content
+    # tokens
+    return [int(t) for t in row if int(t) not in (EOS, SOT, LANG, TASK)]
+
+
+# --- golden token fixtures --------------------------------------------------
+# Committed reference outputs per configuration, captured while the
+# installed transformers could drive the reference's generate(). They make
+# token-exact parity independent of the installed-HF version: live
+# reference first (and asserted equal to the golden — HF behavioral drift
+# becomes a FAILURE, not silence), committed fixture second, skip only when
+# neither exists.
+
+GOLDEN_PATH = Path(__file__).parent / "fixtures" / "longform_parity_golden.json"
+_CAPTURE = os.environ.get("TSAW_CAPTURE_GOLDEN") == "1"
+
+
+def _load_golden() -> dict:
+    if GOLDEN_PATH.exists():
+        return json.loads(GOLDEN_PATH.read_text())
+    return {}
+
+
+def _save_golden(case: str, rows) -> None:
+    import transformers
+
+    golden = _load_golden()
+    meta = golden.setdefault("_meta", {})
+    meta[case] = {"transformers": transformers.__version__,
+                  "torch": torch.__version__}
+    golden[case] = rows
+    GOLDEN_PATH.parent.mkdir(exist_ok=True)
+    GOLDEN_PATH.write_text(json.dumps(golden, indent=1, sort_keys=True))
+
+
+def _ref_rows(case: str, call, required: bool = True):
+    """Stripped reference token rows for ``case``.
+
+    Drives the live reference generate() when possible; falls back to the
+    committed golden fixture on drift. With both, live must equal golden.
+    Returns None only when required=False and neither source exists.
+    """
+    golden = _load_golden()
+    err = None
+    try:
+        rows = [_strip(r) for r in call()]
+    except Exception as e:  # HF internals drifted from the pinned 4.55
+        rows, err = None, e
+    if rows is not None:
+        if _CAPTURE:
+            _save_golden(case, rows)
+        if case in golden:
+            assert rows == golden[case], (
+                f"live reference deviates from committed golden for "
+                f"{case!r} — installed transformers/torch changed reference "
+                f"behavior:\nlive   {rows}\ngolden {golden[case]}")
+        return rows
+    if case in golden:
+        return golden[case]
+    if required:
+        pytest.skip(f"reference generate() not drivable "
+                    f"({type(err).__name__}: {err}) and no golden fixture "
+                    f"for {case!r}")
+    return None
+
+
 def test_longform_full_parity(setup, rng):
     ref, cfg, params = setup
     n_win = 3
@@ -165,11 +287,8 @@ def test_longform_full_parity(setup, rng):
     stno = raw / raw.sum(axis=1, keepdims=True)
     attn = np.ones((2, t_total), dtype=np.int64)
 
-    try:
-        ref_out = _ref_generate(ref, feats, stno, attn)
-    except Exception as e:  # HF internals drifted from the pinned 4.55
-        pytest.skip(f"reference generate() not drivable on installed "
-                    f"transformers: {type(e).__name__}: {e}")
+    ref_rows = _ref_rows("greedy_base",
+                         lambda: _ref_generate(ref, feats, stno, attn))
 
     gen_cfg = GenerationConfig(
         eos_token_id=EOS, pad_token_id=EOS, bos_token_id=EOS,
@@ -179,20 +298,10 @@ def test_longform_full_parity(setup, rng):
     prompts = np.array([[SOT, LANG, TASK]] * 2, dtype=np.int32)
     ours = longform_generate(params, cfg, gen_cfg, feats, stno, attn, prompts)
 
-    # reference output begins with prefix tokens from its tokenizer re-encode
-    # (our token-level fixup emits content only); compare content tokens
-    def strip(row):
-        return [int(t) for t in row if int(t) not in (EOS, SOT, LANG, TASK)]
-
     for b in range(2):
-        ref_row = strip(ref_out[b])
-        our_row = strip(ours.sequences[b])
-        assert our_row == ref_row, (
-            f"row {b}:\nours {our_row}\nref  {ref_row}")
-
-
-def _strip(row):
-    return [int(t) for t in row if int(t) not in (EOS, SOT, LANG, TASK)]
+        our_row = _strip(ours.sequences[b])
+        assert our_row == ref_rows[b], (
+            f"row {b}:\nours {our_row}\nref  {ref_rows[b]}")
 
 
 def test_longform_full_parity_joint_ctc(rng):
@@ -204,11 +313,9 @@ def test_longform_full_parity_joint_ctc(rng):
     stno = raw / raw.sum(axis=1, keepdims=True)
     attn = np.ones((2, t_total), dtype=np.int64)
 
-    try:
-        ref_out = _ref_generate(ref, feats, stno, attn, ctc_weight=0.3)
-    except Exception as e:
-        pytest.skip(f"reference generate() not drivable: "
-                    f"{type(e).__name__}: {e}")
+    ref_rows = _ref_rows(
+        "joint_ctc",
+        lambda: _ref_generate(ref, feats, stno, attn, ctc_weight=0.3))
 
     gen_cfg = GenerationConfig(
         eos_token_id=EOS, pad_token_id=EOS, bos_token_id=EOS,
@@ -218,7 +325,8 @@ def test_longform_full_parity_joint_ctc(rng):
     prompts = np.array([[SOT, LANG, TASK]] * 2, dtype=np.int32)
     ours = longform_generate(params, cfg, gen_cfg, feats, stno, attn, prompts)
     for b in range(2):
-        assert _strip(ours.sequences[b]) == _strip(ref_out[b]), f"row {b}"
+        assert _strip(ours.sequences[b]) == ref_rows[b], (
+            f"row {b}\nours {_strip(ours.sequences[b])}\nref  {ref_rows[b]}")
 
 
 def test_longform_full_parity_beam(rng):
@@ -230,12 +338,10 @@ def test_longform_full_parity_beam(rng):
     stno = raw / raw.sum(axis=1, keepdims=True)
     attn = np.ones((2, t_total), dtype=np.int64)
 
-    try:
-        ref_out = _ref_generate(ref, feats, stno, attn, num_beams=2,
-                                length_penalty=1.0)
-    except Exception as e:
-        pytest.skip(f"reference generate() not drivable: "
-                    f"{type(e).__name__}: {e}")
+    ref_rows = _ref_rows(
+        "beam2",
+        lambda: _ref_generate(ref, feats, stno, attn, num_beams=2,
+                              length_penalty=1.0))
 
     gen_cfg = GenerationConfig(
         eos_token_id=EOS, pad_token_id=EOS, bos_token_id=EOS,
@@ -245,9 +351,9 @@ def test_longform_full_parity_beam(rng):
     prompts = np.array([[SOT, LANG, TASK]] * 2, dtype=np.int32)
     ours = longform_generate(params, cfg, gen_cfg, feats, stno, attn, prompts)
     for b in range(2):
-        assert _strip(ours.sequences[b]) == _strip(ref_out[b]), (
+        assert _strip(ours.sequences[b]) == ref_rows[b], (
             f"row {b}\nours {_strip(ours.sequences[b])}"
-            f"\nref  {_strip(ref_out[b])}")
+            f"\nref  {ref_rows[b]}")
 
 
 @pytest.mark.parametrize("seed,lp", [(31, 0.1), (37, 1.0)])
@@ -262,12 +368,10 @@ def test_longform_full_parity_beam_more(rng, seed, lp):
     stno = raw / raw.sum(axis=1, keepdims=True)
     attn = np.ones((2, t_total), dtype=np.int64)
 
-    try:
-        ref_out = _ref_generate(ref, feats, stno, attn, num_beams=2,
-                                length_penalty=lp)
-    except Exception as e:
-        pytest.skip(f"reference generate() not drivable: "
-                    f"{type(e).__name__}: {e}")
+    ref_rows = _ref_rows(
+        f"beam2_seed{seed}_lp{lp}",
+        lambda: _ref_generate(ref, feats, stno, attn, num_beams=2,
+                              length_penalty=lp))
 
     gen_cfg = GenerationConfig(
         eos_token_id=EOS, pad_token_id=EOS, bos_token_id=EOS,
@@ -277,9 +381,9 @@ def test_longform_full_parity_beam_more(rng, seed, lp):
     prompts = np.array([[SOT, LANG, TASK]] * 2, dtype=np.int32)
     ours = longform_generate(params, cfg, gen_cfg, feats, stno, attn, prompts)
     for b in range(2):
-        assert _strip(ours.sequences[b]) == _strip(ref_out[b]), (
+        assert _strip(ours.sequences[b]) == ref_rows[b], (
             f"seed {seed} lp {lp} row {b}\nours "
-            f"{_strip(ours.sequences[b])}\nref  {_strip(ref_out[b])}")
+            f"{_strip(ours.sequences[b])}\nref  {ref_rows[b]}")
 
 
 def test_longform_full_parity_ragged_lengths(rng):
@@ -295,11 +399,8 @@ def test_longform_full_parity_ragged_lengths(rng):
     attn[1, : 96 * 1] = 1     # 1 window
     attn[2, : 96 * 2 + 40] = 1  # 2.4 windows (partial tail)
 
-    try:
-        ref_out = _ref_generate(ref, feats, stno, attn)
-    except Exception as e:
-        pytest.skip(f"reference generate() not drivable: "
-                    f"{type(e).__name__}: {e}")
+    ref_rows = _ref_rows("ragged_lengths",
+                         lambda: _ref_generate(ref, feats, stno, attn))
 
     gen_cfg = GenerationConfig(
         eos_token_id=EOS, pad_token_id=EOS, bos_token_id=EOS,
@@ -309,9 +410,9 @@ def test_longform_full_parity_ragged_lengths(rng):
     prompts = np.array([[SOT, LANG, TASK]] * 3, dtype=np.int32)
     ours = longform_generate(params, cfg, gen_cfg, feats, stno, attn, prompts)
     for b in range(3):
-        assert _strip(ours.sequences[b]) == _strip(ref_out[b]), (
+        assert _strip(ours.sequences[b]) == ref_rows[b], (
             f"row {b}\nours {_strip(ours.sequences[b])}"
-            f"\nref  {_strip(ref_out[b])}")
+            f"\nref  {ref_rows[b]}")
 
 
 def test_longform_full_parity_ctc_case_fold(rng):
@@ -327,15 +428,13 @@ def test_longform_full_parity_ctc_case_fold(rng):
     stno = raw / raw.sum(axis=1, keepdims=True)
     attn = np.ones((2, t_total), dtype=np.int64)
 
-    ref_out = None
-    try:
-        ref_out = _ref_generate(ref, feats, stno, attn, ctc_weight=0.3)
-    except Exception:
-        # installed-transformers drift blocks the CTC full-generate path
-        # (same as the known joint-CTC skip); rescorer-level case-fold
-        # parity is token-exact-tested in test_joint_ctc_decode.py —
-        # here keep the mechanics check that the fold changes the decode
-        pass
+    # rescorer-level case-fold parity is also token-exact-tested in
+    # test_joint_ctc_decode.py; when neither live reference nor golden is
+    # available, fall back to the mechanics check below
+    ref_rows = _ref_rows(
+        "ctc_case_fold",
+        lambda: _ref_generate(ref, feats, stno, attn, ctc_weight=0.3),
+        required=False)
 
     gen_cfg = GenerationConfig(
         eos_token_id=EOS, pad_token_id=EOS, bos_token_id=EOS,
@@ -348,9 +447,9 @@ def test_longform_full_parity_ctc_case_fold(rng):
         np.array(list(fold.keys()), np.int64)])    # lower ids
     ours = longform_generate(params, cfg, gen_cfg, feats, stno, attn,
                              prompts, upper_to_lower=upper_to_lower)
-    if ref_out is not None:
+    if ref_rows is not None:
         for b in range(2):
-            assert _strip(ours.sequences[b]) == _strip(ref_out[b]), f"row {b}"
+            assert _strip(ours.sequences[b]) == ref_rows[b], f"row {b}"
     else:
         # at minimum, prove the fold reaches the CTC state: upper-case
         # columns must carry their lower-case twin's log-probs
@@ -384,13 +483,10 @@ def test_longform_full_parity_detect_language(rng):
     stno = raw / raw.sum(axis=1, keepdims=True)
     attn = np.ones((2, t_total), dtype=np.int64)
 
-    try:
-        ref_out = _ref_generate(
-            ref, feats, stno, attn, detect_lang=True,
-            lang_to_id={"<|en|>": LANG, "<|de|>": LANG2})
-    except Exception as e:
-        pytest.skip(f"reference generate() not drivable: "
-                    f"{type(e).__name__}: {e}")
+    ref_rows = _ref_rows(
+        "detect_language",
+        lambda: _ref_generate(ref, feats, stno, attn, detect_lang=True,
+                              lang_to_id={"<|en|>": LANG, "<|de|>": LANG2}))
 
     gen_cfg = GenerationConfig(
         eos_token_id=EOS, pad_token_id=EOS, bos_token_id=EOS,
@@ -402,7 +498,7 @@ def test_longform_full_parity_detect_language(rng):
     ours = longform_generate(params, cfg, gen_cfg, feats, stno, attn,
                              prompts, detect_lang=True)
     for b in range(2):
-        assert _strip(ours.sequences[b]) == _strip(ref_out[b]), f"row {b}"
+        assert _strip(ours.sequences[b]) == ref_rows[b], f"row {b}"
 
 
 @pytest.mark.parametrize("num_beams", [1, 2])
@@ -417,13 +513,12 @@ def test_longform_full_parity_no_speech_skip(rng, num_beams):
     stno = raw / raw.sum(axis=1, keepdims=True)
     attn = np.ones((2, t_total), dtype=np.int64)
 
-    ref_out = None
-    try:
-        ref_out = _ref_generate(ref, feats, stno, attn, num_beams=num_beams,
-                                no_speech_threshold=1e-9,
-                                logprob_threshold=10.0)
-    except Exception:
-        pass  # installed-transformers drift; our-side semantics still checked
+    ref_rows = _ref_rows(
+        f"no_speech_skip_beams{num_beams}",
+        lambda: _ref_generate(ref, feats, stno, attn, num_beams=num_beams,
+                              no_speech_threshold=1e-9,
+                              logprob_threshold=10.0),
+        required=False)  # our-side semantics still checked without it
 
     gen_cfg = GenerationConfig(
         eos_token_id=EOS, pad_token_id=EOS, bos_token_id=EOS,
@@ -437,8 +532,8 @@ def test_longform_full_parity_no_speech_skip(rng, num_beams):
     for b in range(2):
         assert _strip(ours.sequences[b]) == [], \
             f"row {b}: expected all windows skipped as silence"
-        if ref_out is not None:
-            assert _strip(ref_out[b]) == []
+        if ref_rows is not None:
+            assert ref_rows[b] == []
 
 
 def test_longform_full_parity_fallback_thresholds_pass(rng):
@@ -452,14 +547,13 @@ def test_longform_full_parity_fallback_thresholds_pass(rng):
     stno = raw / raw.sum(axis=1, keepdims=True)
     attn = np.ones((2, t_total), dtype=np.int64)
 
-    ref_out = None
-    try:
-        ref_out = _ref_generate(ref, feats, stno, attn,
-                                temperature=(0.0, 0.2, 0.4),
-                                compression_ratio_threshold=50.0,
-                                logprob_threshold=-1e9)
-    except Exception:
-        pass  # installed-transformers drift; fall back to self-consistency
+    ref_rows = _ref_rows(
+        "fallback_thresholds_pass",
+        lambda: _ref_generate(ref, feats, stno, attn,
+                              temperature=(0.0, 0.2, 0.4),
+                              compression_ratio_threshold=50.0,
+                              logprob_threshold=-1e9),
+        required=False)  # self-consistency fallback below
 
     gen_cfg = GenerationConfig(
         eos_token_id=EOS, pad_token_id=EOS, bos_token_id=EOS,
@@ -470,9 +564,9 @@ def test_longform_full_parity_fallback_thresholds_pass(rng):
     prompts = np.array([[SOT, LANG, TASK]] * 2, dtype=np.int32)
     ours = longform_generate(params, cfg, gen_cfg, feats, stno, attn,
                              prompts)
-    if ref_out is not None:
+    if ref_rows is not None:
         for b in range(2):
-            assert _strip(ours.sequences[b]) == _strip(ref_out[b]), f"row {b}"
+            assert _strip(ours.sequences[b]) == ref_rows[b], f"row {b}"
     else:
         # passing checks must leave the temperature-0 output untouched
         plain_cfg = GenerationConfig(
@@ -501,12 +595,10 @@ def test_longform_full_parity_se_dicow(rng):
     e_raw = e_rng.random((2, 4, 48)).astype(np.float32)
     e_stno = e_raw / e_raw.sum(axis=1, keepdims=True)
 
-    try:
-        ref_out = _ref_generate(ref, feats, stno, attn,
-                                enrollments=(e_feats, e_stno))
-    except Exception as e:
-        pytest.skip(f"reference generate() not drivable: "
-                    f"{type(e).__name__}: {e}")
+    ref_rows = _ref_rows(
+        "se_dicow",
+        lambda: _ref_generate(ref, feats, stno, attn,
+                              enrollments=(e_feats, e_stno)))
 
     gen_cfg = GenerationConfig(
         eos_token_id=EOS, pad_token_id=EOS, bos_token_id=EOS,
@@ -518,9 +610,9 @@ def test_longform_full_parity_se_dicow(rng):
                              prompts, enroll_features=e_feats,
                              enroll_stno=e_stno)
     for b in range(2):
-        assert _strip(ours.sequences[b]) == _strip(ref_out[b]), (
+        assert _strip(ours.sequences[b]) == ref_rows[b], (
             f"row {b}:\nours {_strip(ours.sequences[b])}\n"
-            f"ref  {_strip(ref_out[b])}")
+            f"ref  {ref_rows[b]}")
 
 
 def test_longform_full_parity_se_dicow_ragged(rng):
@@ -541,12 +633,10 @@ def test_longform_full_parity_se_dicow_ragged(rng):
     e_raw = e_rng.random((3, 4, 48)).astype(np.float32)
     e_stno = e_raw / e_raw.sum(axis=1, keepdims=True)
 
-    try:
-        ref_out = _ref_generate(ref, feats, stno, attn,
-                                enrollments=(e_feats, e_stno))
-    except Exception as e:
-        pytest.skip(f"reference generate() not drivable: "
-                    f"{type(e).__name__}: {e}")
+    ref_rows = _ref_rows(
+        "se_dicow_ragged",
+        lambda: _ref_generate(ref, feats, stno, attn,
+                              enrollments=(e_feats, e_stno)))
 
     gen_cfg = GenerationConfig(
         eos_token_id=EOS, pad_token_id=EOS, bos_token_id=EOS,
@@ -558,6 +648,6 @@ def test_longform_full_parity_se_dicow_ragged(rng):
                              prompts, enroll_features=e_feats,
                              enroll_stno=e_stno)
     for b in range(3):
-        assert _strip(ours.sequences[b]) == _strip(ref_out[b]), (
+        assert _strip(ours.sequences[b]) == ref_rows[b], (
             f"row {b}\nours {_strip(ours.sequences[b])}"
-            f"\nref  {_strip(ref_out[b])}")
+            f"\nref  {ref_rows[b]}")
