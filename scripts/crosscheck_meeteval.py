@@ -11,12 +11,21 @@ error counts match exactly.
 
     python scripts/crosscheck_meeteval.py [--sessions 50] [--seed 0]
 
+To make the verdict PERSIST, write a fixture pack — the sessions plus
+meeteval's error counts — and commit it; tests/test_meeteval_pack.py then
+validates the engines against the pack forever, on any machine, without
+meeteval installed:
+
+    python scripts/crosscheck_meeteval.py --sessions 50 \
+        --write-pack tests/fixtures/meeteval_pack.json
+
 Exit code 0 = every session agreed on tcpWER, cpWER, and ORC-WER counts.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 from pathlib import Path
 
@@ -33,6 +42,8 @@ from ts_asr_whisper_tpu.eval.wer import (  # noqa: E402
 
 WORDS = ["yes", "no", "ok", "hello", "world", "meeting", "今", "日", "uh",
          "right", "thanks", "speaker", "one", "two", "three"]
+
+TCP_KEYS = ("errors", "insertions", "deletions", "substitutions", "length")
 
 
 def random_session(rng, max_speakers=4, max_segs=6, max_words=8):
@@ -58,11 +69,42 @@ def random_session(rng, max_speakers=4, max_segs=6, max_words=8):
     return streams("ref_spk"), streams("hyp_spk")
 
 
+def check_session(ref_segs, hyp_segs, expected, collar, label=""):
+    """Score with OUR engines, compare with ``expected`` counts (from
+    meeteval or a hand-verified pack). Returns a list of mismatch strings."""
+    ref, hyp = SegLST(ref_segs), SegLST(hyp_segs)
+    bad = []
+
+    ours = calc_session_tcp_wer(ref, hyp, collar=collar)
+    for key in TCP_KEYS:
+        if key in expected.get("tcp", {}) and \
+                ours[f"tcp_{key}"] != expected["tcp"][key]:
+            bad.append(f"{label} tcpwer {key}: ours={ours[f'tcp_{key}']} "
+                       f"expected={expected['tcp'][key]}")
+
+    if "cp" in expected:
+        ours_cp = calc_session_cp_wer(ref, hyp)
+        if ours_cp["cp_errors"] != expected["cp"]["errors"]:
+            bad.append(f"{label} cpwer errors: ours={ours_cp['cp_errors']} "
+                       f"expected={expected['cp']['errors']}")
+
+    if "orc" in expected:
+        ours_orc = calc_session_orc_wer(ref, hyp)
+        if ours_orc["orc_errors"] != expected["orc"]["errors"]:
+            bad.append(f"{label} orcwer errors: ours={ours_orc['orc_errors']} "
+                       f"expected={expected['orc']['errors']}")
+    return bad
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sessions", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--collar", type=float, default=5.0)
+    ap.add_argument("--write-pack", type=Path, default=None,
+                    help="write sessions + meeteval counts to this JSON so "
+                         "the verdict persists (tests/test_meeteval_pack.py "
+                         "validates committed packs)")
     args = ap.parse_args()
 
     try:
@@ -76,36 +118,37 @@ def main():
 
     rng = np.random.default_rng(args.seed)
     failures = 0
+    pack_sessions = []
     for i in range(args.sessions):
         ref, hyp = random_session(rng)
         if not ref or not hyp:
             continue
         m_ref, m_hyp = MSegLST(ref), MSegLST(hyp)
-        ref, hyp = SegLST(ref), SegLST(hyp)
 
-        ours = calc_session_tcp_wer(ref, hyp, collar=args.collar)
-        theirs = tcpwer(reference=m_ref, hypothesis=m_hyp,
-                        collar=args.collar)["s0"]
-        for key in ("errors", "insertions", "deletions", "substitutions",
-                    "length"):
-            if ours[f"tcp_{key}"] != getattr(theirs, key):
-                print(f"[{i}] tcpwer {key}: ours={ours[f'tcp_{key}']} "
-                      f"meeteval={getattr(theirs, key)}")
-                failures += 1
-
-        ours_cp = calc_session_cp_wer(ref, hyp)
+        theirs_tcp = tcpwer(reference=m_ref, hypothesis=m_hyp,
+                            collar=args.collar)["s0"]
         theirs_cp = cpwer(reference=m_ref, hypothesis=m_hyp)["s0"]
-        if ours_cp["cp_errors"] != theirs_cp.errors:
-            print(f"[{i}] cpwer errors: ours={ours_cp['cp_errors']} "
-                  f"meeteval={theirs_cp.errors}")
-            failures += 1
-
-        ours_orc = calc_session_orc_wer(ref, hyp)
         theirs_orc = orcwer(reference=m_ref, hypothesis=m_hyp)["s0"]
-        if ours_orc["orc_errors"] != theirs_orc.errors:
-            print(f"[{i}] orcwer errors: ours={ours_orc['orc_errors']} "
-                  f"meeteval={theirs_orc.errors}")
-            failures += 1
+        expected = {
+            "tcp": {k: int(getattr(theirs_tcp, k)) for k in TCP_KEYS},
+            "cp": {"errors": int(theirs_cp.errors)},
+            "orc": {"errors": int(theirs_orc.errors)},
+        }
+        bad = check_session(ref, hyp, expected, args.collar, label=f"[{i}]")
+        for line in bad:
+            print(line)
+        failures += len(bad)
+        pack_sessions.append({"ref": ref, "hyp": hyp, **expected})
+
+    if args.write_pack is not None:
+        meta = {"source": f"meeteval {getattr(meeteval, '__version__', '?')}",
+                "collar": args.collar, "seed": args.seed,
+                "sessions": len(pack_sessions),
+                "all_matched_at_capture": failures == 0}
+        args.write_pack.parent.mkdir(parents=True, exist_ok=True)
+        args.write_pack.write_text(json.dumps(
+            {"meta": meta, "sessions": pack_sessions}, indent=1))
+        print(f"wrote {len(pack_sessions)}-session pack to {args.write_pack}")
 
     if failures:
         print(f"FAILED: {failures} mismatching counts")
