@@ -114,36 +114,44 @@ def _reorder_onehot(chosen_beam: jax.Array, cache: jax.Array,
     return out.reshape(cache.shape)
 
 
-_IMPL = "pallas"  # 'onehot' | 'pallas' | 'fused' — trace-time switch
+_IMPL = "auto"  # resolved per-backend by get_reorder_impl — see below
 
 
 def set_reorder_impl(impl: str) -> None:
     """Strategy for applying the beam permutation to the KV cache
     (measured matrix in docs/PERFORMANCE.md; all token/score-equivalent):
 
-    - 'pallas' (the DEFAULT): standalone block-DMA kernel — kernel itself
+    - 'auto' (the DEFAULT): 'ancestry_pallas' on TPU, 'pallas' elsewhere
+      (which itself falls back to the one-hot matmul off-TPU).
+    - 'ancestry_pallas': append-only cache + the fused ancestry-mask
+      attention Pallas kernel (ops/beam_attention.py) — no permute, no
+      scan-carry layout copies, no append rewrite. Fastest measured
+      end-to-end: 775.1 ms +CTC loop vs the standalone kernel's 884.8 ms
+      (same-day A/B, v5e, beam-5 batch-8 large-v3-turbo 128 tok).
+    - 'pallas': standalone block-DMA reorder kernel — kernel itself
       0.17 ms/step vs the one-hot matmul's 0.47 ms + 0.41 ms layout copy
-      per cache tensor; fastest measured end-to-end (894.7 ms +CTC loop).
-    - 'onehot': MXU one-hot matmul; the choice off-TPU.
+      per cache tensor; the previous TPU default.
+    - 'onehot': MXU one-hot matmul; the fallback off-TPU.
     - 'fused' / 'fused_onehot': no standalone permute — beam.py hands the
       permutation to decoder_cached, which gathers each layer's cache rows
       inside the scan step right before the cache update. Hoped to remove
       the ~1.3 ms/step of XLA layout-conversion copies around the scan
       carry; measured SLOWER (991.8 ms) because XLA re-materializes the
       carry instead.
-    - 'ancestry': append-only cache + ancestry-mask attention
-      (models/whisper.py::decoder_cached_ancestry) — no permute ever.
-    - 'ancestry_pallas': 'ancestry' with the masked attention read fused
-      into one Pallas kernel per layer (ops/beam_attention.py) — removes
-      the scan-carry layout copies AND the append rewrite.
+    - 'ancestry': 'ancestry_pallas' semantics expressed in pure XLA —
+      measured SLOWER (923.1 ms): the append degrades to a full-tensor
+      rewrite.
     """
     global _IMPL
-    assert impl in ("onehot", "pallas", "fused", "fused_onehot",
+    assert impl in ("auto", "onehot", "pallas", "fused", "fused_onehot",
                     "ancestry", "ancestry_pallas"), impl
     _IMPL = impl
 
 
 def get_reorder_impl() -> str:
+    if _IMPL == "auto":
+        return ("ancestry_pallas" if jax.default_backend() == "tpu"
+                else "pallas")
     return _IMPL
 
 
