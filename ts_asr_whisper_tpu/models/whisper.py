@@ -553,7 +553,12 @@ def decoder_cached_ancestry(
     step expresses a layout preference on the cache (the append is a
     layout-agnostic dynamic_update_slice), so the scan-carry
     layout-conversion copies and the full-tensor append rewrite both
-    disappear from the trace. Runs in interpret mode off-TPU.
+    disappear from the trace. The FULL stacked caches ride the layer
+    scan's carry and the kernel selects its layer through the
+    scalar-prefetch index map — routing per-layer cache slices as scan
+    xs/ys instead costs a ConcatBitcast + two full-cache copies per step
+    (~0.5 ms at beam-5 batch-8 turbo, trace r04). Runs in interpret mode
+    off-TPU.
     """
     assert get_kv_cache_layout() == "bhtd", (
         "ancestry reorder requires the 'bhtd' KV-cache layout, got "
@@ -569,19 +574,66 @@ def decoder_cached_ancestry(
     use_pallas = attn_impl == "pallas"
     if use_pallas:
         from ..ops.beam_attention import ancestry_attention
+
         interp = jax.default_backend() != "tpu"
-        sel_f = any_sel = key_pos = None
-    else:
-        key_pos = jnp.arange(max_len)
-        pos_ok = key_pos <= pos_offset               # (T,)
-        # group-local ancestry one-hot (the permutation is block-diagonal —
-        # a row only ever selects within its own beam group, so the c axis
-        # is n, not Bb): sel[b, o, c, t] = 1 iff group row c holds
-        # hypothesis (b, o)'s K/V at position t (and t is visible)
-        sel = (hist.reshape(b, n, 1, max_len) ==
-               jnp.arange(n)[None, None, :, None]) & pos_ok[None, None, None]
-        sel_f = sel.astype(jnp.float32)
-        any_sel = sel.any(axis=2).reshape(bb, max_len)   # (Bb, T)
+
+        def step_pallas(carry, xs):
+            h, ck_full, cv_full = carry
+            lp, cross, li = xs
+            res = h
+            z = layer_norm(lp["self_attn_layer_norm"], h)
+            q = linear(lp["self_attn"]["q_proj"], z, dtype) * head_dim ** -0.5
+            k_new = linear(lp["self_attn"]["k_proj"], z, dtype)
+            v_new = linear(lp["self_attn"]["v_proj"], z, dtype)
+            q, k_new, v_new = (_split_heads(t, num_heads)
+                               for t in (q, k_new, v_new))
+            # one fused kernel over the stacked pre-update caches: masked
+            # read + self splice + softmax + PV; the layer row comes from
+            # the scalar-prefetch index map, so the carry never meets an
+            # XLA op with a layout preference
+            attn = ancestry_attention(q, k_new, v_new, ck_full, cv_full,
+                                      hist, pos_offset, li, n,
+                                      interpret=interp)
+            h = res + linear(lp["self_attn"]["out_proj"],
+                             _merge_heads(attn), dtype)
+            # append last: one in-place slab write into the carried stack
+            ck_full = jax.lax.dynamic_update_slice(
+                ck_full, k_new[None], (li, 0, 0, pos_offset, 0))
+            cv_full = jax.lax.dynamic_update_slice(
+                cv_full, v_new[None], (li, 0, 0, pos_offset, 0))
+
+            res = h
+            z = layer_norm(lp["encoder_attn_layer_norm"], h)
+            q2 = linear(lp["encoder_attn"]["q_proj"], z, dtype) \
+                * head_dim ** -0.5
+            q2 = _split_heads(q2, num_heads)
+            attn = _cross_attention(q2, cross, dtype)
+            h = res + linear(lp["encoder_attn"]["out_proj"],
+                             _merge_heads(attn), dtype)
+
+            res = h
+            z = layer_norm(lp["final_layer_norm"], h)
+            h = res + mlp_block(lp, z, dtype)
+            return (h, ck_full, cv_full), None
+
+        n_layers = kv_cache["k"].shape[0]
+        (x, new_k, new_v), _ = jax.lax.scan(
+            step_pallas, (x, kv_cache["k"], kv_cache["v"]),
+            (params["layers"], cross_kv,
+             jnp.arange(n_layers, dtype=jnp.int32)))
+        x = layer_norm(params["layer_norm"], x)
+        return x, {"k": new_k, "v": new_v}
+
+    key_pos = jnp.arange(max_len)
+    pos_ok = key_pos <= pos_offset               # (T,)
+    # group-local ancestry one-hot (the permutation is block-diagonal —
+    # a row only ever selects within its own beam group, so the c axis
+    # is n, not Bb): sel[b, o, c, t] = 1 iff group row c holds
+    # hypothesis (b, o)'s K/V at position t (and t is visible)
+    sel = (hist.reshape(b, n, 1, max_len) ==
+           jnp.arange(n)[None, None, :, None]) & pos_ok[None, None, None]
+    sel_f = sel.astype(jnp.float32)
+    any_sel = sel.any(axis=2).reshape(bb, max_len)   # (Bb, T)
 
     def step(h, xs):
         lp, cross, cache_k, cache_v = xs
@@ -598,40 +650,33 @@ def decoder_cached_ancestry(
         # output — a clean last write XLA can do in place (the v1 order,
         # update-then-attend, degraded the append to a full-tensor rewrite
         # worth ~1.5 ms/step at beam-5 batch-8 large-v3-turbo).
-        if use_pallas:
-            # one fused kernel: masked read + self splice + softmax + PV
-            # (ops/beam_attention.py); the cache never meets an XLA op
-            # with a layout preference
-            attn = ancestry_attention(q, k_new, v_new, cache_k, cache_v,
-                                      hist, pos_offset, n, interpret=interp)
-        else:
-            # Einsums are group-local (leading-dim splits are free
-            # row-major reshapes); the ancestry select is exact (one
-            # nonzero c per (b, o, t)).
-            qg = q.reshape(b, n, num_heads, head_dim)
-            kg = cache_k.reshape(b, n, num_heads, max_len, head_dim)
-            vg = cache_v.reshape(b, n, num_heads, max_len, head_dim)
-            scores_all = jnp.einsum("bohd,bchtd->bohct", qg, kg,
-                                    preferred_element_type=jnp.float32)
-            scores = jnp.einsum("bohct,boct->boht", scores_all, sel_f) \
-                .reshape(bb, num_heads, 1, max_len)
-            score_self = jnp.einsum("bhqd,bhqd->bhq", q, k_new,
-                                    preferred_element_type=jnp.float32)
-            is_pos = (key_pos == pos_offset)[None, None, None]  # (1,1,1,T)
-            scores = jnp.where(is_pos, score_self[..., None], scores)
-            # any_sel is true at t == pos_offset (the caller claims the
-            # slot), so it is the complete visibility mask
-            scores = jnp.where(any_sel[:, None, None], scores,
-                               jnp.finfo(jnp.float32).min)
-            probs = jax.nn.softmax(scores, axis=-1)
-            p_hist = jnp.where(is_pos, 0.0, probs)
-            p_self = (probs - p_hist).sum(axis=-1)            # (Bb,H,1)
-            wp = jnp.einsum("boht,boct->bohct",
-                            p_hist.reshape(b, n, num_heads, max_len),
-                            sel_f).astype(dtype)
-            attn = jnp.einsum("bohct,bchtd->bohd", wp, vg) \
-                .reshape(bb, num_heads, 1, head_dim) \
-                + p_self[..., None].astype(dtype) * v_new
+        # Einsums are group-local (leading-dim splits are free
+        # row-major reshapes); the ancestry select is exact (one
+        # nonzero c per (b, o, t)).
+        qg = q.reshape(b, n, num_heads, head_dim)
+        kg = cache_k.reshape(b, n, num_heads, max_len, head_dim)
+        vg = cache_v.reshape(b, n, num_heads, max_len, head_dim)
+        scores_all = jnp.einsum("bohd,bchtd->bohct", qg, kg,
+                                preferred_element_type=jnp.float32)
+        scores = jnp.einsum("bohct,boct->boht", scores_all, sel_f) \
+            .reshape(bb, num_heads, 1, max_len)
+        score_self = jnp.einsum("bhqd,bhqd->bhq", q, k_new,
+                                preferred_element_type=jnp.float32)
+        is_pos = (key_pos == pos_offset)[None, None, None]  # (1,1,1,T)
+        scores = jnp.where(is_pos, score_self[..., None], scores)
+        # any_sel is true at t == pos_offset (the caller claims the
+        # slot), so it is the complete visibility mask
+        scores = jnp.where(any_sel[:, None, None], scores,
+                           jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(scores, axis=-1)
+        p_hist = jnp.where(is_pos, 0.0, probs)
+        p_self = (probs - p_hist).sum(axis=-1)            # (Bb,H,1)
+        wp = jnp.einsum("boht,boct->bohct",
+                        p_hist.reshape(b, n, num_heads, max_len),
+                        sel_f).astype(dtype)
+        attn = jnp.einsum("bohct,bchtd->bohd", wp, vg) \
+            .reshape(bb, num_heads, 1, head_dim) \
+            + p_self[..., None].astype(dtype) * v_new
         h = res + linear(lp["self_attn"]["out_proj"], _merge_heads(attn), dtype)
         # append last: the updated buffers' only consumer is the carry out
         cache_k = jax.lax.dynamic_update_slice(

@@ -54,9 +54,11 @@ def _kernel(pos_ref, hist_ref, q_ref, kn_ref, vn_ref, ck_ref, cv_ref, o_ref,
     """One (beam group, head): ancestry-masked attention in VMEM.
 
     Block shapes: hist (1, n, T) int32; q/k_new/v_new/out (1, 1, n, hd);
-    cache_k/cache_v (1, n, 1, T, hd). ``pos_ref`` is the scalar-prefetch
-    current position (tokens already in the cache). All views below index
-    leading dims only, keeping Mosaic's tiled trailing-2D layout intact.
+    cache_k/cache_v (1, n, 1, T, hd) — the layer row selected by the
+    BlockSpec index map. ``pos_ref`` is the scalar-prefetch [pos, layer]
+    pair; the kernel reads only pos (layer is consumed by the index maps).
+    All views below index leading dims only, keeping Mosaic's tiled
+    trailing-2D layout intact.
     """
     pos = pos_ref[0]
     q = q_ref[0, 0]                        # (n, hd)
@@ -101,37 +103,51 @@ def _kernel(pos_ref, hist_ref, q_ref, kn_ref, vn_ref, ck_ref, cv_ref, o_ref,
 
 @functools.partial(jax.jit, static_argnames=("n", "interpret"))
 def ancestry_attention(q, k_new, v_new, cache_k, cache_v, hist, pos,
-                       n: int, interpret: bool = False):
-    """Fused beam-decode self-attention over an append-only cache.
+                       layer, n: int, interpret: bool = False):
+    """Fused beam-decode self-attention over a stacked append-only cache.
 
     q/k_new/v_new: (Bb, H, 1, hd) this step's projections (q pre-scaled);
-    cache_k/cache_v: (Bb, H, T, hd) PRE-update cache ('bhtd' layout);
+    cache_k/cache_v: (L, Bb, H, T, hd) the FULL layer-stacked PRE-update
+    caches ('bhtd' layout) — the kernel reads only rows of ``layer`` via
+    its BlockSpec index map, so passing the whole stack is free;
     hist: (Bb, T) int32 group-local ancestor row per position;
-    pos: scalar int32 tokens already in the cache; n: beams per group.
-    Returns attention output (Bb, H, 1, hd) in q's dtype.
+    pos/layer: scalar int32 cache position / decoder layer; n: beams per
+    group. Returns attention output (Bb, H, 1, hd) in q's dtype.
+
+    Why the full stack: with per-layer (Bb, H, T, hd) slices the decoder
+    layer scan must route the caches as scan xs/ys, and XLA materializes
+    the stacked ys through a ConcatBitcast plus TWO full-cache copies per
+    step (~0.5 ms at beam-5 batch-8 turbo — trace: copy.656/657). With the
+    stack passed whole and ``layer`` in the scalar-prefetch index map, the
+    caches ride the scan CARRY, the append is one in-place slab
+    dynamic_update_slice, and no stacking or copying ever happens.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     bb, h, _, hd = q.shape
-    t = cache_k.shape[2]
+    n_layers, _, _, t, _ = cache_k.shape
     assert bb % n == 0, f"beam batch {bb} not divisible by beams {n}"
+    assert cache_k.shape[1] == bb, (
+        f"cache rows {cache_k.shape[1]} != beam batch {bb}")
     assert hist.shape == (bb, t), (
         f"hist shape {hist.shape} != (Bb, T) = {(bb, t)}")
     b = bb // n
     # host-side relayout: tiny new-token tensors go beams-trailing
     # (B, H, n, hd) so the kernel's 2-D views are leading-dim indexes; the
-    # cache split (B, n, H, T, hd) is a free row-major reshape (no copy)
+    # cache split (L, Bb, ...) -> (L*B, n, ...) is a free row-major
+    # reshape (no copy)
     q4, kn4, vn4 = (
         x.reshape(b, n, h, hd).transpose(0, 2, 1, 3)
         for x in (q, k_new, v_new))
-    ck5 = cache_k.reshape(b, n, h, t, hd)
-    cv5 = cache_v.reshape(b, n, h, t, hd)
+    ck5 = cache_k.reshape(n_layers * b, n, h, t, hd)
+    cv5 = cache_v.reshape(n_layers * b, n, h, t, hd)
     hist3 = hist.reshape(b, n, t)
-    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    idx = jnp.stack([jnp.asarray(pos, jnp.int32),
+                     jnp.asarray(layer, jnp.int32)])
     new_spec = pl.BlockSpec((1, 1, n, hd), lambda g, hh, p: (g, hh, 0, 0))
-    cache_spec = pl.BlockSpec((1, n, 1, t, hd),
-                              lambda g, hh, p: (g, 0, hh, 0, 0))
+    cache_spec = pl.BlockSpec(
+        (1, n, 1, t, hd), lambda g, hh, p: (p[1] * b + g, 0, hh, 0, 0))
     hist_spec = pl.BlockSpec((1, n, t), lambda g, hh, p: (g, 0, 0))
     out = pl.pallas_call(
         functools.partial(_kernel, n=n),
@@ -144,5 +160,5 @@ def ancestry_attention(q, k_new, v_new, cache_k, cache_v, hist, pos,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, n, hd), q.dtype),
         interpret=interpret,
-    )(pos_arr, hist3, q4, kn4, vn4, ck5, cv5)
+    )(idx, hist3, q4, kn4, vn4, ck5, cv5)
     return out.transpose(0, 2, 1, 3).reshape(bb, h, 1, hd)
