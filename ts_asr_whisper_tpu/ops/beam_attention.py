@@ -39,6 +39,11 @@ MXU work is noise at decode shapes.
 Reference behavior being accelerated: HF beam search's
 ``_reorder_cache``/beam_idx gather as driven by
 /root/reference/src/models/dicow/generation.py:1087-1088.
+
+Hardware validation: the CPU test suite runs this kernel in interpret
+mode only; ``scripts/tpu_kernel_check.py`` asserts the Mosaic-COMPILED
+path (tokens identical, scores within 2e-5 of the pure-XLA beam) on a
+real chip — last verified on TPU v5e.
 """
 
 from __future__ import annotations
