@@ -187,17 +187,21 @@ def _bench_encoder(batch: int = 16):
         (batch, cfg.num_mel_bins, 3000)).astype(np.float32))
     stno = jnp.full((batch, 4, 1500), 0.25, jnp.float32)
 
+    from ts_asr_whisper_tpu.utils.device import force_execution as _force
+
     # params as an ARGUMENT: closing over them would bake ~800 M weights
     # into the program as constants (docs/PERFORMANCE.md timing pitfalls)
     fwd = jax.jit(lambda p, f, s: dicow_encoder_forward(p, cfg, f, s))
-    jax.block_until_ready(fwd(params["encoder"], feats, stno))  # compile
+    _force(fwd(params["encoder"], feats, stno))  # compile
     rates = []
     for _ in range(3):
         iters = 2
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fwd(params["encoder"], feats, stno)
-        jax.block_until_ready(out)
+        # block_until_ready can return early on the remoted backend
+        # (utils/device.py) — fetch a leaf for a true barrier
+        _force(out)
         rates.append(batch * 30.0 * iters / (time.perf_counter() - t0))
     del params
     gc.collect()
