@@ -383,11 +383,12 @@ def main():
     # dataloader worker sweep: the scaling claim's evidence lives in the
     # driver artifact, not README prose (w4/w8 on a 1-core harness measure
     # contention — the note records the detected core count either way)
-    import os as _os
-    cores = len(_os.sched_getaffinity(0)) \
-        if hasattr(_os, "sched_getaffinity") else (_os.cpu_count() or 1)
+    sweep = _bench_dataloader_sweep()
+    # core count as the subprocess measured it (scripts/bench_dataloader.py
+    # attaches it to every record) — one detection, one source of truth
+    cores = next((r["host_cores"] for r in sweep if "host_cores" in r), 1)
     _emit("host_cores_detected", cores, "cores", None)
-    for rec in _bench_dataloader_sweep():
+    for rec in sweep:
         workers = rec.get("workers")
         note = None
         if workers and workers > cores:
@@ -395,7 +396,8 @@ def main():
                     "contention, not scaling; real v5e hosts have >100 cores")
         _emit(rec["metric"], rec["value"], rec.get("unit", "samples_per_s"),
               None, **({"note": note} if note else {}),
-              **({"workers": workers} if workers else {}))
+              **({"workers": workers} if workers else {}),
+              **({"spread": rec["spread"]} if "spread" in rec else {}))
 
     emit_ms("tcpwer_session_2400w_ms", _bench_tcpwer_session(),
             "ms_per_session", baseline_div=None)

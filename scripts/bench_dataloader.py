@@ -121,8 +121,8 @@ def main():
                 n += batch["input_features"].shape[0]
             return n / (time.perf_counter() - t0)
 
-        def emit(rate, workers, worker_type):
-            print(json.dumps({
+        def emit(rate, workers, worker_type, spread=None):
+            rec = {
                 "metric": f"dataloader_samples_per_s_w{workers}",
                 "value": round(rate, 2),
                 "unit": "samples_per_s",
@@ -130,7 +130,10 @@ def main():
                 "workers": workers,
                 "worker_type": worker_type,
                 "host_cores": cores,
-            }), flush=True)
+            }
+            if spread is not None:
+                rec["spread"] = round(spread, 2)
+            print(json.dumps(rec), flush=True)
 
         if args.sweep:
             # an 8-chip v5e slice at the measured train step rate consumes
@@ -139,11 +142,18 @@ def main():
             # extra workers only measure contention (this CI harness has
             # ONE core — the sweep documents that; real v5e hosts have
             # >100).
+            import statistics
+
             best = 0.0
             for workers, worker_type in ((1, "thread"), (4, "process"),
                                          (8, "process")):
-                rate = measure(workers, worker_type)
-                emit(rate, workers, worker_type)
+                # median-of-3 with spread, same contract as every other
+                # driver-recorded metric (bench.py) — regression vs
+                # run-to-run drift must be answerable from the JSON
+                rates = [measure(workers, worker_type) for _ in range(3)]
+                rate = statistics.median(rates)
+                emit(rate, workers, worker_type,
+                     spread=max(rates) - min(rates))
                 best = max(best, rate)
             print(json.dumps({
                 "metric": "dataloader_headroom_vs_8chip_demand",

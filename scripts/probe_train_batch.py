@@ -3,8 +3,10 @@
 Attempts to compile+run the large-v3-turbo fine-tune train step (the
 exact program `bench.py::_bench_train_step` times: decoder frozen, bf16
 Adam mu, donated buffers) at increasing per-chip batch sizes and reports,
-per batch: samples/s if it runs, the compile failure otherwise, and the
-compiled program's own memory analysis when available.
+per batch, samples/s if it runs or the compile failure otherwise. (The
+7.38 GB args / 10.41 GB temps breakdown quoted in docs/PERFORMANCE.md #5
+came from `step_fn.lower(...).compile().memory_analysis()` on the same
+program at batch 8.)
 
 r04 result on the 16 GB v5e (fused flash attention, `attn` remat):
 batch 8 = 7.22 samples/s (args 7.38 GB resident + 10.41 GB peak

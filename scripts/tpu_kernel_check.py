@@ -62,7 +62,7 @@ def check_beam_ancestry_and_reorder():
     prompt = jnp.asarray([[sot, 50], [sot, 50]], jnp.int32)
 
     outs = {}
-    prev = R.get_reorder_impl()
+    prev = R.get_reorder_impl(raw=True)
     try:
         for impl in ("onehot", "pallas", "ancestry_pallas"):
             R.set_reorder_impl(impl)

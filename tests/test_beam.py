@@ -114,7 +114,7 @@ def test_beam_reorder_impls_equivalent(setup, impl):
     from ts_asr_whisper_tpu.ops import reorder as R
 
     cfg, params, gen_cfg, enc, prompt = setup
-    prev = R.get_reorder_impl()
+    prev = R.get_reorder_impl(raw=True)
     try:
         R.set_reorder_impl("onehot")
         base = beam_search(params, cfg, gen_cfg, enc, jnp.asarray(prompt),

@@ -74,7 +74,16 @@ class _SmallVocabCTCRescorer(_RefCTCRescorer):
         super().__init__(*a, **kw)
 
 
-_ref_gen_mod.CTCRescorerLogitsProcessor = _SmallVocabCTCRescorer
+@pytest.fixture(autouse=True)
+def _shim_ref_ctc_rescorer():
+    """Patch the reference's rescorer for THIS module only and restore it
+    after each test — an import-time assignment would leak the tiny-vocab
+    ctc_tokens_to_score into every later-collected module that drives the
+    reference generate()."""
+    orig = _ref_gen_mod.CTCRescorerLogitsProcessor
+    _ref_gen_mod.CTCRescorerLogitsProcessor = _SmallVocabCTCRescorer
+    yield
+    _ref_gen_mod.CTCRescorerLogitsProcessor = orig
 
 
 class MockWhisperTok:
@@ -261,13 +270,17 @@ def _ref_rows(case: str, call, required: bool = True):
     except Exception as e:  # HF internals drifted from the pinned 4.55
         rows, err = None, e
     if rows is not None:
-        if _CAPTURE:
-            _save_golden(case, rows)
+        # drift check BEFORE any capture write: a drifted/broken
+        # transformers must never silently overwrite the committed oracle.
+        # To intentionally re-capture after a verified behavior change,
+        # delete the case from the fixture first.
         if case in golden:
             assert rows == golden[case], (
                 f"live reference deviates from committed golden for "
                 f"{case!r} — installed transformers/torch changed reference "
                 f"behavior:\nlive   {rows}\ngolden {golden[case]}")
+        if _CAPTURE:
+            _save_golden(case, rows)
         return rows
     if case in golden:
         return golden[case]

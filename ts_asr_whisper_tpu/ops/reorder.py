@@ -124,10 +124,11 @@ def set_reorder_impl(impl: str) -> None:
     - 'auto' (the DEFAULT): 'ancestry_pallas' on TPU, 'pallas' elsewhere
       (which itself falls back to the one-hot matmul off-TPU).
     - 'ancestry_pallas': append-only cache + the fused ancestry-mask
-      attention Pallas kernel (ops/beam_attention.py) — no permute, no
+      attention Pallas kernel (ops/beam_attention.py) with the
+      layer-stacked caches riding the scan carry — no permute, no
       scan-carry layout copies, no append rewrite. Fastest measured
-      end-to-end: 775.1 ms +CTC loop vs the standalone kernel's 884.8 ms
-      (same-day A/B, v5e, beam-5 batch-8 large-v3-turbo 128 tok).
+      end-to-end: 629.4 ms +CTC loop vs the standalone kernel's 884.8 ms
+      (r04 A/Bs, v5e, beam-5 batch-8 large-v3-turbo 128 tok).
     - 'pallas': standalone block-DMA reorder kernel — kernel itself
       0.17 ms/step vs the one-hot matmul's 0.47 ms + 0.41 ms layout copy
       per cache tensor; the previous TPU default.
@@ -148,11 +149,14 @@ def set_reorder_impl(impl: str) -> None:
     _IMPL = impl
 
 
-def get_reorder_impl() -> str:
-    if _IMPL == "auto":
-        return ("ancestry_pallas" if jax.default_backend() == "tpu"
-                else "pallas")
-    return _IMPL
+def get_reorder_impl(raw: bool = False) -> str:
+    """Resolved impl by default; ``raw=True`` returns the configured value
+    ('auto' included) so save/restore round-trips — restoring the RESOLVED
+    value would silently pin a backend-specific impl."""
+    if raw or _IMPL != "auto":
+        return _IMPL
+    return ("ancestry_pallas" if jax.default_backend() == "tpu"
+            else "pallas")
 
 
 def beam_reorder(cache: jax.Array, chosen_beam: jax.Array, n: int,
