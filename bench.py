@@ -157,9 +157,28 @@ def _bench_longform(num_beams: int, ctc_weight: float, batch: int,
 
     cons, dev = measure(feats)
     cons_up, _ = measure(feats_host)
+
+    # profiler-derived DEVICE busy time per decoded window: the
+    # host/tunnel-noise-free companion to the wall-clock RTFx above, so
+    # cross-round swings are attributable from the recorded JSON alone
+    # (utils/devicetime.py). ~2 extra runs under the profiler.
+    from ts_asr_whisper_tpu.utils.devicetime import measure_device_ms
+    dev_ms_per_window = []
+    for _ in range(2):
+        windows = []
+
+        def thunk():
+            out = run(feats)
+            np.asarray(out.sequences)
+            windows.append(out.windows_decoded)
+
+        ms = measure_device_ms(thunk)
+        if ms is not None:
+            dev_ms_per_window.append(ms / windows[-1])
+
     del params
     gc.collect()
-    return cons, cons_up, dev
+    return cons, cons_up, dev, dev_ms_per_window
 
 
 def _bench_encoder(batch: int = 16):
@@ -337,7 +356,24 @@ def _bench_train_step(batch: int = 8):
             params, opt_state, parts = step_fn(params, opt_state, batch_data)
         _force(params)
         rates.append(batch * steps / (time.perf_counter() - t0))
-    return rates
+
+    # device busy ms per step (profiler-derived; see _bench_longform).
+    # step_fn donates params/opt_state, so thread them through a holder —
+    # the arrays a finished thunk leaves behind are the live ones.
+    from ts_asr_whisper_tpu.utils.devicetime import measure_device_ms
+    state = [params, opt_state]
+    dev_ms = []
+    for _ in range(2):
+        def thunk():
+            for _ in range(2):
+                state[0], state[1], _parts = step_fn(state[0], state[1],
+                                                     batch_data)
+            _force(state[0])
+
+        ms = measure_device_ms(thunk)
+        if ms is not None:
+            dev_ms.append(ms / 2)
+    return rates, dev_ms
 
 
 def main():
@@ -356,29 +392,42 @@ def main():
 
     # batch 16 = the reference's greedy eval envelope
     # (configs/decode/dicow_v3_greedy.yaml); measured sweet spot on v5e
-    cons, cons_up, dev = _bench_longform(num_beams=1, ctc_weight=0.0,
-                                         batch=16, n_windows=3)
+    cons, cons_up, dev, g_dev_ms = _bench_longform(
+        num_beams=1, ctc_weight=0.0, batch=16, n_windows=3)
     emit_ms("longform_greedy_rtfx_large-v3-turbo", cons,
             "x_realtime_per_chip")
     emit_ms("longform_greedy_device_window_rtfx_large-v3-turbo", dev,
             "x_realtime_per_chip")
     emit_ms("longform_greedy_rtfx_incl_upload_large-v3-turbo", cons_up,
             "x_realtime_per_chip")
+    # profiler-derived device busy time — the host/tunnel-noise-free
+    # companion: if a future round's wall RTFx swings but this holds,
+    # the swing was harness conditions, not a device regression
+    if g_dev_ms:
+        emit_ms("longform_greedy_device_ms_per_window", g_dev_ms,
+                "ms_device_per_window", baseline_div=None)
 
-    beam_cons, _, beam_dev = _bench_longform(
+    beam_cons, _, beam_dev, b_dev_ms = _bench_longform(
         num_beams=5, ctc_weight=0.2, batch=8, n_windows=2,
         length_penalty=0.1)
     emit_ms("longform_beam5_joint_ctc_rtfx_large-v3-turbo", beam_cons,
             "x_realtime_per_chip")
     emit_ms("longform_beam5_joint_ctc_device_window_rtfx_large-v3-turbo",
             beam_dev, "x_realtime_per_chip")
+    if b_dev_ms:
+        emit_ms("longform_beam5_joint_ctc_device_ms_per_window", b_dev_ms,
+                "ms_device_per_window", baseline_div=None)
 
     emit_ms("encoder_rtfx_large-v3-turbo", _bench_encoder(batch=16),
             "x_realtime_per_chip")
 
+    train_rates, t_dev_ms = _bench_train_step(batch=8)
     emit_ms("train_step_samples_per_s_large-v3-turbo",
-            _bench_train_step(batch=8), "samples_per_s_per_chip",
+            train_rates, "samples_per_s_per_chip",
             baseline_div=None)
+    if t_dev_ms:
+        emit_ms("train_step_device_ms", t_dev_ms, "ms_device_per_step",
+                baseline_div=None)
 
     # dataloader worker sweep: the scaling claim's evidence lives in the
     # driver artifact, not README prose (w4/w8 on a 1-core harness measure

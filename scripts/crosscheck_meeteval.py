@@ -105,6 +105,10 @@ def main():
                     help="write sessions + meeteval counts to this JSON so "
                          "the verdict persists (tests/test_meeteval_pack.py "
                          "validates committed packs)")
+    ap.add_argument("--force", action="store_true",
+                    help="write the pack even when sessions mismatched "
+                         "(by default a failing run refuses to write: the "
+                         "pack's purpose is a persisted PASSING verdict)")
     args = ap.parse_args()
 
     try:
@@ -140,7 +144,11 @@ def main():
         failures += len(bad)
         pack_sessions.append({"ref": ref, "hyp": hyp, **expected})
 
-    if args.write_pack is not None:
+    if args.write_pack is not None and failures and not args.force:
+        print(f"refusing to write pack: {failures} mismatching counts "
+              "(a committed pack would permanently fail "
+              "test_meeteval_pack); pass --force to write anyway")
+    elif args.write_pack is not None:
         meta = {"source": f"meeteval {getattr(meeteval, '__version__', '?')}",
                 "collar": args.collar, "seed": args.seed,
                 "sessions": len(pack_sessions),

@@ -48,7 +48,7 @@ def main():
 
     for b in args.batches:
         try:
-            rates = bench._bench_train_step(batch=b)
+            rates, _dev_ms = bench._bench_train_step(batch=b)
             print(json.dumps({
                 "batch": b, "ok": True,
                 "samples_per_s": round(statistics.median(rates), 2),
