@@ -48,6 +48,14 @@ class GenerationConfig:
     # per-step top-k att/CTC/fused debug dump during joint decoding
     # (reference analyze_predictions, decoding.py:214-266)
     joint_debug: bool = False
+    # word-level token timestamps (DTW over cross-attention alignment
+    # heads; greedy path only — decoding/token_timestamps.py). Mirrors
+    # HF/reference return_token_timestamps + generation_config
+    # alignment_heads/median_filter_width
+    # (reference generation.py:427-436,473-475,526-527)
+    return_token_timestamps: bool = False
+    alignment_heads: Tuple[Tuple[int, int], ...] = ()
+    median_filter_width: int = 7
 
     @property
     def timestamp_begin(self) -> int:
@@ -79,5 +87,10 @@ class GenerationConfig:
             kw["lang_ids"] = tuple(sorted(raw["lang_to_id"].values()))
         if raw.get("task_to_id"):
             kw["task_to_id"] = tuple(sorted(raw["task_to_id"].items()))
+        if raw.get("alignment_heads"):
+            kw["alignment_heads"] = tuple(
+                (int(l_), int(h)) for l_, h in raw["alignment_heads"])
+        if raw.get("median_filter_width") is not None:
+            kw["median_filter_width"] = int(raw["median_filter_width"])
         kw.update(overrides)
         return cls(**kw)

@@ -33,6 +33,11 @@ class GreedyOutput(NamedTuple):
     lengths: jax.Array         # (B,) valid token count incl. prompt
     sum_logprobs: jax.Array    # (B,) sum of selected-token logprobs
     no_speech_probs: jax.Array  # (B,) P(no-speech token) at the begin step
+    # token-timestamp mode only: cross-attention probabilities of the
+    # alignment heads per generated-token query, (B, S, max_new, T_enc);
+    # row j = query position prompt_len + j (HF drops the prompt rows and
+    # the final row before DTW — decoding/token_timestamps.py)
+    alignment_weights: Optional[jax.Array] = None
 
 
 @partial(jax.jit, static_argnames=("cfg", "gen_cfg", "max_new_tokens",
@@ -50,6 +55,7 @@ def greedy_decode(
     force_full_length: bool = False,  # benchmarking: ignore EOS early exit
     temperature: float = 0.0,     # >0: multinomial sampling (fallback retries)
     rng_key: jax.Array | None = None,
+    alignment_slots: jax.Array | None = None,  # (L, S, H) token-ts heads
 ) -> GreedyOutput:
     dec = params["decoder"]
     b, prompt_len = init_tokens.shape
@@ -88,6 +94,7 @@ def greedy_decode(
         sum_logprobs: jax.Array
         ctc_state: Any
         rng: jax.Array
+        align_buf: Any = None
 
     def cond(c: Carry):
         if force_full_length:
@@ -118,17 +125,33 @@ def greedy_decode(
         tokens = jax.lax.dynamic_update_slice(
             c.tokens, next_tok[:, None], (0, c.cur_len))
         finished = c.finished | (next_tok == eos)
-        hidden, cache = decoder_cached(dec, cfg, next_tok[:, None],
-                                       c.cur_len, c.cache, cross_kv)
+        align_buf = c.align_buf
+        if alignment_slots is None:
+            hidden, cache = decoder_cached(dec, cfg, next_tok[:, None],
+                                           c.cur_len, c.cache, cross_kv)
+        else:
+            hidden, cache, probs = decoder_cached(
+                dec, cfg, next_tok[:, None], c.cur_len, c.cache, cross_kv,
+                alignment_slots=alignment_slots)
+            # probs: (B, S, 1, T_enc) — the query row for position cur_len
+            # (generated-token index cur_len - prompt_len)
+            align_buf = jax.lax.dynamic_update_slice(
+                align_buf, probs.astype(jnp.float32),
+                (0, 0, c.cur_len - prompt_len, 0))
         logits = lm_logits(dec, hidden[:, -1]).astype(jnp.float32)
         return Carry(tokens, c.cur_len + 1, finished, cache, logits,
-                     sum_logprobs, ctc_state_new, rng)
+                     sum_logprobs, ctc_state_new, rng, align_buf)
 
     if rng_key is None:
         rng_key = jax.random.PRNGKey(0)
+    align0 = None
+    if alignment_slots is not None:
+        n_slots = alignment_slots.shape[1]
+        t_enc = encoder_hidden.shape[1]
+        align0 = jnp.zeros((b, n_slots, max_new_tokens, t_enc), jnp.float32)
     init = Carry(tokens, jnp.asarray(prompt_len, jnp.int32),
                  jnp.zeros((b,), bool), cache, logits0,
-                 jnp.zeros((b,), jnp.float32), ctc_state, rng_key)
+                 jnp.zeros((b,), jnp.float32), ctc_state, rng_key, align0)
     final = jax.lax.while_loop(cond, body, init)
 
     # valid length = prompt + tokens up to and including first EOS
@@ -137,4 +160,4 @@ def greedy_decode(
     first_eos = jnp.where(is_eos.any(1), jnp.argmax(is_eos, 1), final.cur_len - 1)
     lengths = jnp.minimum(first_eos + 1, final.cur_len)
     return GreedyOutput(final.tokens, lengths, final.sum_logprobs,
-                        no_speech_probs)
+                        no_speech_probs, final.align_buf)

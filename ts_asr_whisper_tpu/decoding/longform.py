@@ -77,6 +77,10 @@ class Segment:
     start: float
     end: float
     tokens: np.ndarray
+    # word-level timestamps (seconds, global time) for this segment's
+    # tokens when return_token_timestamps is on (reference
+    # generation.py:473-475,526-527); None otherwise
+    token_timestamps: Optional[np.ndarray] = None
 
 
 @dataclass
@@ -98,9 +102,17 @@ def retrieve_segment(
     timestamp_begin: int,
     seek_num_frames: int,        # mel frames consumed by this window
     time_offset: float,          # seconds at window start
+    token_timestamps: Optional[np.ndarray] = None,  # full extracted row
+    prompt_len: int = 0,         # the reference's idx_offset
 ) -> tuple:
     """Split a window's decoded tokens into timestamped segments and compute
-    how many mel frames to advance the seek pointer."""
+    how many mel frames to advance the seek pointer.
+
+    With ``token_timestamps`` (the per-row DTW extraction incl. prompt
+    zeros), segments carry their token-level times: the consecutive-
+    timestamp branch slices ``[prompt_len + last : prompt_len + current]``
+    and the no-consecutive branch attaches the FULL row — both quirks
+    exactly as the reference (generation.py:473-475,526-527)."""
     seek_sequence = np.asarray(seek_sequence)
     ts_tokens = seek_sequence >= timestamp_begin
     single_timestamp_ending = (
@@ -121,10 +133,15 @@ def retrieve_segment(
             start_pos = int(sliced[0]) - timestamp_begin
             end_idx = -1 if (not is_last or single_timestamp_ending) else -2
             end_pos = int(sliced[end_idx]) - timestamp_begin
+            tt = None
+            if token_timestamps is not None:
+                tt = token_timestamps[prompt_len + last_slice:
+                                      prompt_len + current_slice] \
+                    + time_offset
             segments.append(Segment(
                 start=time_offset + start_pos * TIME_PRECISION,
                 end=time_offset + end_pos * TIME_PRECISION,
-                tokens=sliced))
+                tokens=sliced, token_timestamps=tt))
             last_slice = current_slice
         if single_timestamp_ending:
             segment_offset = seek_num_frames
@@ -152,10 +169,15 @@ def retrieve_segment(
         else:
             skip = True
         if not skip:
+            tt = None
+            if token_timestamps is not None:
+                # reference quirk: the whole extracted row (incl. prompt
+                # zeros) is attached here, not a slice (generation.py:526)
+                tt = token_timestamps + time_offset
             segments = [Segment(
                 start=time_offset + start_pos * TIME_PRECISION,
                 end=time_offset + last_pos * TIME_PRECISION,
-                tokens=seek_sequence)]
+                tokens=seek_sequence, token_timestamps=tt)]
             segment_offset = seek_num_frames
 
     if segment_offset <= 0:
@@ -332,6 +354,9 @@ def longform_generate(
     upper_to_lower: Optional[np.ndarray] = None,  # (2, n) case-fold map
     detect_lang: bool = False,  # fill forced_decoder_ids[:,1] by detection
     mesh=None,  # optional jax.sharding.Mesh with a "data" axis: DP decode
+    token_ts_num_frames: Optional[np.ndarray] = None,  # (B,) valid mel
+    # frames for the token-timestamp DTW crop (HF's num_frames kwarg;
+    # None = no crop, matching HF when the kwarg is absent)
 ):
     """Batched long-form transcription. Returns LongformOutput whose
     ``sequences`` carry re-blocked 0-30 s timestamps (ready for the SegLST
@@ -350,6 +375,24 @@ def longform_generate(
 
     all_segments: List[List[Segment]] = [[] for _ in range(b)]
     ts_begin = gen_cfg.timestamp_begin
+
+    alignment_slots = None
+    if gen_cfg.return_token_timestamps:
+        # word-level timestamps: DTW over cross-attention alignment heads
+        # (decoding/token_timestamps.py). Greedy-only by scope — the
+        # reference never enables the capability; see the module docstring.
+        if gen_cfg.num_beams > 1:
+            raise NotImplementedError(
+                "return_token_timestamps is implemented for the greedy path"
+                " (num_beams == 1); see decoding/token_timestamps.py")
+        if not gen_cfg.alignment_heads:
+            raise ValueError(
+                "return_token_timestamps needs generation-config "
+                "alignment_heads (HF raises the same requirement)")
+        from .token_timestamps import alignment_slots_from_heads
+        alignment_slots = jnp.asarray(alignment_slots_from_heads(
+            gen_cfg.alignment_heads, cfg.decoder_layers,
+            cfg.decoder_attention_heads))
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -475,7 +518,8 @@ def longform_generate(
         else:
             out = greedy_decode(params, cfg, gen_cfg, enc,
                                 _dev(forced_rows), max_new,
-                                ctc_scorer=ctc_scorer, ctc_state=ctc_state)
+                                ctc_scorer=ctc_scorer, ctc_state=ctc_state,
+                                alignment_slots=alignment_slots)
         # scatter bucket results back to full-batch views (first occurrence
         # of each row wins; padded duplicates are ignored)
         sequences = np.zeros((b, out.sequences.shape[1]), dtype=np.int64)
@@ -484,16 +528,25 @@ def longform_generate(
         # np.asarray pays a full link RTT on a remoted TPU)
         extra_names = [nm for nm in ("no_speech_probs", "sum_logprobs",
                                      "scores") if hasattr(out, nm)]
+        align_out = getattr(out, "alignment_weights", None)
         fetched = jax.device_get(
             (out.sequences, out.lengths)
-            + tuple(getattr(out, nm) for nm in extra_names))
+            + tuple(getattr(out, nm) for nm in extra_names)
+            + ((align_out,) if align_out is not None else ()))
         bucket_seq = np.asarray(fetched[0])
         bucket_len = np.asarray(fetched[1])
         seen_rows = set()
+        n_extra = len(extra_names)
         bucket_extra = dict(zip(extra_names,
-                                (np.asarray(a) for a in fetched[2:])))
+                                (np.asarray(a) for a in
+                                 fetched[2: 2 + n_extra])))
         full_extra = {name: np.zeros(b, dtype=np.float64)
                       for name in bucket_extra}
+        weights_full = None
+        bucket_w = None
+        if align_out is not None:
+            bucket_w = np.asarray(fetched[2 + n_extra])
+            weights_full = np.zeros((b,) + bucket_w.shape[1:], np.float32)
         for j, i in enumerate(rows):
             if i in seen_rows:
                 continue
@@ -502,6 +555,8 @@ def longform_generate(
             lengths[i] = bucket_len[j]
             for name, arr in bucket_extra.items():
                 full_extra[name][i] = arr[j]
+            if bucket_w is not None:
+                weights_full[i] = bucket_w[j]
 
         # per-row logprob value for the quality checks (HF _need_fallback):
         # beam mode uses sequences_scores (length-penalized) directly;
@@ -559,13 +614,16 @@ def longform_generate(
                     max_new, ctc_scorer=ctc_scorer,
                     ctc_state=ctc_state_retry,
                     temperature=float(temp),
-                    rng_key=jax.random.PRNGKey(int(seek.sum()) + t_i))
+                    rng_key=jax.random.PRNGKey(int(seek.sum()) + t_i),
+                    alignment_slots=alignment_slots)
                 r_seq, r_len, r_lp, r_ns = (np.asarray(a) for a in
                                             jax.device_get((
                                                 retry.sequences,
                                                 retry.lengths,
                                                 retry.sum_logprobs,
                                                 retry.no_speech_probs)))
+                r_w = (np.asarray(jax.device_get(retry.alignment_weights))
+                       if weights_full is not None else None)
                 seen = set()
                 for j, i in enumerate(rows):
                     if i in seen:
@@ -578,8 +636,24 @@ def longform_generate(
                                                   1)
                         if "no_speech_probs" in full_extra:
                             full_extra["no_speech_probs"][i] = r_ns[j]
+                        if r_w is not None:
+                            weights_full[i] = r_w[j]
 
         skip_silence = _skip_mask()
+
+        token_ts = None
+        if weights_full is not None:
+            # HF extracts per seek window over the active sub-batch, with
+            # num_frames = user num_frames - seek (_postprocess_outputs)
+            from .token_timestamps import extract_token_timestamps
+            act = np.where(active)[0]
+            nf = None
+            if token_ts_num_frames is not None:
+                nf = (np.asarray(token_ts_num_frames, np.int64) - seek)[act]
+            ts_rows = extract_token_timestamps(
+                weights_full[act], prompt_len, lengths[act], num_frames=nf,
+                median_filter_width=gen_cfg.median_filter_width)
+            token_ts = {int(i): ts_rows[k] for k, i in enumerate(act)}
 
         for i in range(b):
             if not active[i]:
@@ -594,7 +668,10 @@ def longform_generate(
                 seq = seq[:-1]
             time_offset = float(seek[i]) * TIME_PRECISION / INPUT_STRIDE
             segments, offset = retrieve_segment(
-                seq, ts_begin, int(seek_num_frames[i]), time_offset)
+                seq, ts_begin, int(seek_num_frames[i]), time_offset,
+                token_timestamps=(token_ts[i] if token_ts is not None
+                                  else None),
+                prompt_len=prompt_len)
             all_segments[i].extend(segments)
             seek[i] += offset
 

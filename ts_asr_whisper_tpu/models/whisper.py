@@ -401,8 +401,17 @@ def decoder_cached(
     kv_cache: Dict[str, jax.Array],
     cross_kv,  # (k, v) tuple or int8 dict from quantize_cross_kv
     beam_src: jax.Array = None,    # (B,) optional source-row permutation
+    alignment_slots: jax.Array = None,  # (L, S, H) one-hot head selection
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Run T_new tokens through the decoder with a static-size KV cache.
+
+    With ``alignment_slots`` (token-timestamp collection), an extra value is
+    returned: cross-attention probabilities (B, S, T_new, T_enc) for the S
+    selected (layer, head) alignment pairs — slot s of layer l is the
+    one-hot row alignment_slots[l, s] (all-zero when the slot belongs to a
+    different layer). Used by decoding/token_timestamps.py's DTW extraction
+    (HF Whisper semantics; the reference inherits them,
+    reference generation.py:427-436,473-475,526-527).
 
     Used both for prefill (T_new = prompt length, pos_offset = 0) and for
     single-token steps (T_new = 1). Returns (final hidden (B, T_new, D),
@@ -437,7 +446,10 @@ def decoder_cached(
     self_mask = key_pos[None, :] <= q_pos[:, None]   # (T_new, max_len)
 
     def step(h, xs):
-        lp, cross, cache_k, cache_v = xs
+        if alignment_slots is not None:
+            lp, cross, cache_k, cache_v, sel = xs
+        else:
+            lp, cross, cache_k, cache_v = xs
         if beam_src is not None:
             if beam_src.ndim == 2:
                 # one-hot (Bb_out, Bb_src): permute as an MXU matmul, which
@@ -501,16 +513,40 @@ def decoder_cached(
         res = h
         z = layer_norm(lp["final_layer_norm"], h)
         h = res + mlp_block(lp, z, dtype)
-        return h, (cache_k, cache_v)
+        if alignment_slots is None:
+            return h, (cache_k, cache_v)
+        # token-timestamp support: emit this layer's cross-attention
+        # probabilities for its alignment heads (HF Whisper DTW semantics —
+        # the reference inherits _extract_token_timestamps and carries the
+        # result through segment retrieval, reference generation.py:427-436).
+        # sel: (S, H) rows are one-hot at the head for slots owned by this
+        # layer and all-zero otherwise, so the post-softmax selection
+        # contributes 0 for foreign slots and the cross-layer sum keeps
+        # exactly the owner layer's probabilities.
+        scores_c = jnp.einsum("bhqd,bhtd->bhqt", q, cross[0],
+                              preferred_element_type=jnp.float32)
+        probs_c = jax.nn.softmax(scores_c, axis=-1)
+        sel_probs = jnp.einsum("sh,bhqt->bsqt", sel.astype(jnp.float32),
+                               probs_c)
+        return h, (cache_k, cache_v, sel_probs)
 
     # NOTE: keeping the scan rolled is measured FASTER than unrolling the
     # 4-layer turbo decoder (beam step 948 -> 1134 ms unrolled: the scan's
     # in-place carry buffers beat XLA's unrolled scheduling here)
-    x, (new_k, new_v) = jax.lax.scan(
+    if alignment_slots is None:
+        x, (new_k, new_v) = jax.lax.scan(
+            step, x, (params["layers"], cross_kv,
+                      kv_cache["k"], kv_cache["v"]))
+        x = layer_norm(params["layer_norm"], x)
+        return x, {"k": new_k, "v": new_v}
+    assert not isinstance(cross_kv, dict), \
+        "alignment collection needs the exact cross-KV cache"
+    x, (new_k, new_v, probs) = jax.lax.scan(
         step, x, (params["layers"], cross_kv,
-                  kv_cache["k"], kv_cache["v"]))
+                  kv_cache["k"], kv_cache["v"], alignment_slots))
     x = layer_norm(params["layer_norm"], x)
-    return x, {"k": new_k, "v": new_v}
+    # (L, B, S, q, T_enc) -> owner-layer sum -> (B, S, q, T_enc)
+    return x, {"k": new_k, "v": new_v}, probs.sum(axis=0)
 
 
 def decoder_cached_ancestry(
