@@ -37,6 +37,7 @@ from ts_asr_whisper_tpu.eval.seglst import SegLST  # noqa: E402
 from ts_asr_whisper_tpu.eval.wer import (  # noqa: E402
     calc_session_cp_wer,
     calc_session_orc_wer,
+    calc_session_tcorc_wer,
     calc_session_tcp_wer,
 )
 
@@ -93,6 +94,19 @@ def check_session(ref_segs, hyp_segs, expected, collar, label=""):
         if ours_orc["orc_errors"] != expected["orc"]["errors"]:
             bad.append(f"{label} orcwer errors: ours={ours_orc['orc_errors']} "
                        f"expected={expected['orc']['errors']}")
+
+    if "tcorc" in expected:
+        # the reference's CHUNKED tcORC (wer.py:41-86): VAD-split groups,
+        # per-group stream merge + time-constrained ORC. Hand-derivable per
+        # group; equals plain meeteval tcorcwer only for single-group
+        # sessions, so meeteval-sourced packs should record it only there.
+        ours_tc = calc_session_tcorc_wer(ref, hyp, collar=collar)
+        for key in TCP_KEYS:
+            if key in expected["tcorc"] and \
+                    ours_tc[f"tcorc_{key}"] != expected["tcorc"][key]:
+                bad.append(
+                    f"{label} tcorc {key}: ours={ours_tc[f'tcorc_{key}']} "
+                    f"expected={expected['tcorc'][key]}")
     return bad
 
 
