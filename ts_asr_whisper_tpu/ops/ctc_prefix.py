@@ -69,6 +69,37 @@ def ctc_prefix_scores(
                                      with_states=with_states)
 
 
+def psi_weights(r_prev: jax.Array, decoded_len: jax.Array):
+    """Per-hypothesis closed-form psi weights shared by the full-vocab
+    matmul (ctc_psi_matmul) and the candidate-restricted gather kernel
+    (ops/psi_gather.py): returns (w (Bb, T) probability-domain weights
+    with w <= 1, m (Bb,) the log-domain shift, r_sum (Bb, T))."""
+    bb, t_len = r_prev.shape[:2]
+    r_sum = _logaddexp(r_prev[..., 0], r_prev[..., 1])      # (Bb, T)
+    t_idx = jnp.arange(1, t_len)
+    mask_t = t_idx[None, :] >= decoded_len[:, None]         # (Bb, T-1)
+    phi = jnp.where(mask_t, r_sum[:, :-1], LOG_ZERO)        # (Bb, T-1)
+    init_w = (decoded_len == 0)                             # (Bb,)
+    m = jnp.maximum(phi.max(axis=1), jnp.where(init_w, 0.0, LOG_ZERO))
+    w = jnp.concatenate(
+        [jnp.where(init_w, -m, LOG_ZERO)[:, None], phi - m[:, None]],
+        axis=1)                                             # (Bb, T)
+    w = jnp.where(w > LOG_ZERO / 2, jnp.exp(jnp.maximum(w, -87.0)), 0.0)
+    return w, m, r_sum
+
+
+def psi_match_scores(r_prev: jax.Array, x_last: jax.Array,
+                     decoded_len: jax.Array) -> jax.Array:
+    """Exact log(psi) of re-emitting the last label (blank-ending paths
+    only) — the per-hypothesis last-label correction column shared by both
+    psi paths. Returns (Bb,)."""
+    t_len = r_prev.shape[1]
+    t_idx = jnp.arange(1, t_len)
+    mask_t = t_idx[None, :] >= decoded_len[:, None]
+    summand = jnp.where(mask_t, r_prev[:, :-1, 1] + x_last[:, 1:], LOG_ZERO)
+    return jax.nn.logsumexp(summand, axis=1)
+
+
 def ctc_psi_matmul(
     p_tv: jax.Array,        # (B_audio, T, V) case-folded CTC probabilities
     x_last: jax.Array,      # (Bb, T) log-probs of each hyp's last label
