@@ -108,7 +108,11 @@ def _bench_longform(num_beams: int, ctc_weight: float, batch: int,
                                cross_kv_quant=os.environ.get(
                                    "TSAW_BENCH_KVQ") == "1",
                                ctc_p_bf16=os.environ.get(
-                                   "TSAW_BENCH_CTC_PBF16") == "1")
+                                   "TSAW_BENCH_CTC_PBF16") == "1",
+                               # exact-equivalent psi strategy A/B
+                               # (auto|matmul|gather)
+                               ctc_psi_impl=os.environ.get(
+                                   "TSAW_BENCH_PSI", "auto"))
     params = init_dicow(jax.random.PRNGKey(0), cfg)
     params = cast_params(params, jnp.bfloat16)
 

@@ -151,6 +151,10 @@ class DecodingConfig:
     # a full (B, T, V) tensor — ~2.5 GB at batch-8 large-v3-turbo, on top
     # of the same-sized log-probs) in bf16; psi accumulates fp32
     ctc_p_bf16: bool = False
+    # beam-mode psi strategy: 'auto' picks the candidate-restricted
+    # DMA-gather on TPU and the full-vocab matmul elsewhere
+    # (ops/psi_gather.py; both exact)
+    ctc_psi_impl: str = "auto"
     # per-step top-k att/CTC/fused dump during joint decoding (reference
     # CTCRescorerLogitsProcessor debug, decoding.py:214-266)
     joint_decode_debug: bool = False

@@ -43,7 +43,12 @@ class CTCState(NamedTuple):
     #                               (update_state, last-label fixup) are
     #                               contiguous T-rows
     p_tv: Optional[jax.Array]     # (B_audio, T, V) probabilities, time-major
-    #                               for the beam-shared psi matmul (n>1 only)
+    #                               for the beam-shared psi matmul
+    #                               (n>1 + psi_impl 'matmul' only)
+    p4: Optional[jax.Array]       # (B_audio, V, S, T8) time-folded
+    #                               probabilities for the candidate-
+    #                               restricted DMA-gather psi
+    #                               (n>1 + psi_impl 'gather' only)
     audio_idx: jax.Array     # (Bb,) hypothesis -> audio row
     r_prev: jax.Array        # (Bb, T, 2)
     score_prev: jax.Array    # (Bb,)
@@ -52,10 +57,24 @@ class CTCState(NamedTuple):
     last_label: jax.Array    # (Bb,)
 
 
+def resolve_psi_impl(impl: str) -> str:
+    """Beam-mode psi strategy: 'auto' (default) picks the candidate-
+    restricted DMA-gather path on TPU — exact math at ~1.1 ms/step vs the
+    full-vocab matmul's 1.68 (r05 probe + A/B, docs/PERFORMANCE.md) — and
+    the matmul elsewhere (the gather kernel would run interpreted).
+    Resolved from ``jax.default_backend()`` at trace time; per-call device
+    overrides need the explicit setting, as with ops/reorder.py."""
+    if impl == "auto":
+        return "gather" if jax.default_backend() == "tpu" else "matmul"
+    assert impl in ("matmul", "gather"), impl
+    return impl
+
+
 def init_ctc_state(enc_logits: jax.Array, blank: int,
                    upper_to_lower: Optional[np.ndarray] = None,
                    num_beams: int = 1, k: int = 500,
-                   p_bf16: bool = False) -> CTCState:
+                   p_bf16: bool = False,
+                   psi_impl: str = "auto") -> CTCState:
     """enc_logits: (B_audio, T, V) raw CTC-head logits.
     upper_to_lower: (2, n_pairs) [upper_ids; lower_ids] — upper-case token
     columns take their lower-case column's probability
@@ -85,10 +104,29 @@ def init_ctc_state(enc_logits: jax.Array, blank: int,
     audio_idx = jnp.arange(bb) // num_beams
     r0, s0 = initial_ctc_state(logp, blank)
     v_dec = logp.shape[-1] - 1  # decoder vocab (ctc vocab minus blank)
+    logp_vt = jnp.swapaxes(logp, 1, 2)
+    impl = resolve_psi_impl(psi_impl) if num_beams > 1 else "matmul"
+    p_tv = p4 = None
+    if num_beams > 1:
+        if impl == "gather":
+            from ..ops.psi_gather import fold_posterior
+
+            # bf16 storage on TPU matches the matmul path's EFFECTIVE read
+            # precision (XLA hoists a bf16 convert of the fp32 posterior
+            # out of the decode loop — default matmul precision), at half
+            # the capacity; interpret-mode runs (tests) keep fp32 so CPU
+            # results match the fp32 matmul bit-for-bit up to accumulation
+            # order
+            dtype = (jnp.bfloat16 if p_bf16
+                     or jax.default_backend() == "tpu" else jnp.float32)
+            p4 = fold_posterior(jnp.exp(logp_vt), dtype=dtype)
+        else:
+            p_tv = (jnp.exp(logp).astype(jnp.bfloat16) if p_bf16
+                    else jnp.exp(logp))
     return CTCState(
-        logp_vt=jnp.swapaxes(logp, 1, 2),
-        p_tv=((jnp.exp(logp).astype(jnp.bfloat16) if p_bf16
-               else jnp.exp(logp)) if num_beams > 1 else None),
+        logp_vt=logp_vt,
+        p_tv=p_tv,
+        p4=p4,
         audio_idx=audio_idx,
         r_prev=r0[audio_idx],
         score_prev=jnp.zeros((bb,), jnp.float32),
@@ -191,7 +229,7 @@ class CTCRescorer:
         bb, v_dec = scores.shape
         decoded_len, last_label = self._prefix_stats(tokens, cur_len)
 
-        if state.p_tv is not None:
+        if state.p_tv is not None or state.p4 is not None:
             # beam mode: psi for the whole vocab in one beam-shared matmul,
             # restricted to the top-K-by-attention candidate set the
             # reference scores (decoding.py:309-313). Membership comes from
@@ -224,10 +262,24 @@ class CTCRescorer:
 
             xl = state.logp_vt[state.audio_idx,
                                last_label.astype(jnp.int32)]  # (Bb, T)
-            psi_all = ctc_psi_matmul(
-                state.p_tv, xl, state.r_prev, decoded_len,
-                last_label, self.blank_id, self.eos_id)
-            tmp = jnp.where(cand_mask, psi_all[:, :v_dec], LOG_ZERO)
+            if state.p4 is not None:
+                # candidate-restricted psi: DMA-gather exactly the masked
+                # candidates' posterior rows and dot them with the shared
+                # closed-form weights — same values as the masked matmul
+                # below at ~20x less HBM traffic (ops/psi_gather.py)
+                from ..ops.psi_gather import ctc_psi_candidates
+
+                k_pad = -(-(self.k + 1) // 128) * 128
+                tmp = ctc_psi_candidates(
+                    state.p4, cand_mask, state.audio_idx, xl,
+                    state.r_prev, decoded_len, last_label, self.eos_id,
+                    k_pad=k_pad,
+                    interpret=jax.default_backend() != "tpu")
+            else:
+                psi_all = ctc_psi_matmul(
+                    state.p_tv, xl, state.r_prev, decoded_len,
+                    last_label, self.blank_id, self.eos_id)
+                tmp = jnp.where(cand_mask, psi_all[:, :v_dec], LOG_ZERO)
             cand_ids = cand_mask  # stored as membership mask in beam mode
         else:
             # top-K text candidates (+ EOS always, decoding.py:309-313)

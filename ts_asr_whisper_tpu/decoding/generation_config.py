@@ -45,6 +45,10 @@ class GenerationConfig:
     # (halves the rescorer's ~2.5 GB/batch-8 p_tv tensor; accumulation
     # stays fp32 — see decoding/ctc_rescorer.py::init_ctc_state)
     ctc_p_bf16: bool = False
+    # beam-mode psi strategy: 'auto' = candidate-restricted DMA-gather on
+    # TPU / full-vocab matmul elsewhere; 'matmul' / 'gather' force one
+    # (decoding/ctc_rescorer.py::resolve_psi_impl, ops/psi_gather.py)
+    ctc_psi_impl: str = "auto"
     # per-step top-k att/CTC/fused debug dump during joint decoding
     # (reference analyze_predictions, decoding.py:214-266)
     joint_debug: bool = False

@@ -506,7 +506,8 @@ def longform_generate(
             ctc_state = init_ctc_state(enc_logits, blank, upper_to_lower,
                                        num_beams=max(gen_cfg.num_beams, 1),
                                        k=ctc_scorer.k,
-                                       p_bf16=gen_cfg.ctc_p_bf16)
+                                       p_bf16=gen_cfg.ctc_p_bf16,
+                                       psi_impl=gen_cfg.ctc_psi_impl)
 
         if gen_cfg.num_beams > 1:
             from .beam import beam_search

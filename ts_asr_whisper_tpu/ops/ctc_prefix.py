@@ -136,16 +136,7 @@ def ctc_psi_matmul(
     bb = r_prev.shape[0]
     n = bb // b_audio
 
-    r_sum = _logaddexp(r_prev[..., 0], r_prev[..., 1])      # (Bb, T)
-    t_idx = jnp.arange(1, t_len)
-    mask_t = t_idx[None, :] >= decoded_len[:, None]         # (Bb, T-1)
-    phi = jnp.where(mask_t, r_sum[:, :-1], LOG_ZERO)        # (Bb, T-1)
-    init_w = (decoded_len == 0)                             # (Bb,)
-    m = jnp.maximum(phi.max(axis=1), jnp.where(init_w, 0.0, LOG_ZERO))
-    w = jnp.concatenate(
-        [jnp.where(init_w, -m, LOG_ZERO)[:, None], phi - m[:, None]],
-        axis=1)                                             # (Bb, T)
-    w = jnp.where(w > LOG_ZERO / 2, jnp.exp(jnp.maximum(w, -87.0)), 0.0)
+    w, m, r_sum = psi_weights(r_prev, decoded_len)
     psi = jnp.einsum("bnt,btv->bnv", w.reshape(b_audio, n, t_len), p_tv,
                      preferred_element_type=jnp.float32)
     psi = jnp.log(jnp.maximum(psi, 1e-38)).reshape(bb, v) + m[:, None]
@@ -154,8 +145,7 @@ def ctc_psi_matmul(
     # only extend blank-ending paths (phi = r_b) — at most one column per
     # hypothesis, recomputed exactly from the caller-supplied column
     has_match = (decoded_len > 0)
-    summand = jnp.where(mask_t, r_prev[:, :-1, 1] + x_last[:, 1:], LOG_ZERO)
-    psi_match = jax.nn.logsumexp(summand, axis=1)           # (Bb,)
+    psi_match = psi_match_scores(r_prev, x_last, decoded_len)
     vocab_ids = jnp.arange(v)
     is_match_col = (vocab_ids[None, :] == last_label[:, None]) \
         & has_match[:, None]

@@ -50,6 +50,7 @@ def make_generation_config(container: WhisperContainer, cfg: Cfg,
         repetition_penalty=cfg.decoding.repetition_penalty,
         cross_kv_quant=cfg.decoding.cross_kv_quant,
         ctc_p_bf16=cfg.decoding.ctc_p_bf16,
+        ctc_psi_impl=cfg.decoding.ctc_psi_impl,
         joint_debug=cfg.decoding.joint_decode_debug,
         begin_suppress_tokens=(),
         max_initial_timestamp_index=None,
